@@ -1,0 +1,38 @@
+"""nbed_tpu: TPU-native projection-based embedding framework.
+
+A from-scratch JAX/XLA/Pallas re-design of the capabilities of UCL-CCS/Nbed
+(reference: /root/reference, see SURVEY.md). Unlike the reference — which
+orchestrates PySCF's C cores — every layer here is self-contained and
+TPU-first:
+
+- integrals: McMurchie–Davidson one-/two-electron Gaussian integrals as
+  jit-compiled JAX kernels (batched over shell classes, MXU-friendly
+  contraction assembly).
+- scf: a functional SCF engine (RHF/UHF/RKS/UKS) with DIIS, level shifting,
+  embedding potentials and Huzinaga projectors threaded explicitly (no
+  monkey-patched ``get_hcore`` — cf. reference driver.py:527-529).
+- dft: exchange-correlation functionals (Slater, B88, VWN-RPA/VWN5, LYP,
+  B3LYP composite) evaluated on a Becke-partitioned molecular grid.
+- localizers: SPADE / PM / Boys / IBO occupied localization, concentric +
+  PAO virtual localization, ACE-of-SPADE (reference nbed/localizers/).
+- ham: AO→MO transforms and second-quantised spin-orbital Hamiltonians with
+  Jordan-Wigner / Bravyi-Kitaev qubit mappings (reference ham_builder.py).
+- solvers: exact-diagonalisation FCI and spin-orbital CCSD reference solvers.
+- driver/embed: the projection-based-embedding pipeline with mu-shift and
+  Huzinaga projectors (reference driver.py), exposed via ``nbed(config)``.
+
+Float64 is enabled globally: quantum chemistry needs ~1e-10 in intermediate
+linear algebra to hit 1e-6 Ha end-to-end.
+"""
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+from .config import NbedConfig  # noqa: E402
+from .embed import nbed  # noqa: E402
+from .utils import setup_logs  # noqa: E402
+
+__all__ = ["nbed", "NbedConfig", "setup_logs"]
+
+__version__ = "0.1.0"

@@ -1,0 +1,47 @@
+"""Gaussian basis-set registry.
+
+Replaces the reference's reliance on PySCF's bundled basis library
+(reference driver.py:96-102). Data layout: ``SHELLS = registry[basis][symbol]``
+is a list of ``(l, [(exponent, coefficient), ...])`` contracted shells with
+*published* contraction coefficients (i.e. coefficients referring to
+unit-normalised primitives); normalisation to unit AO norm happens at
+molecule-build time in :mod:`nbed_tpu.chem.molecule`.
+"""
+
+from .data_sto3g import STO3G
+from .data_631g import P631G
+from .data_ccpvdz import CCPVDZ
+
+_REGISTRY = {
+    "sto-3g": STO3G,
+    "sto3g": STO3G,
+    "6-31g": P631G,
+    "631g": P631G,
+    "cc-pvdz": CCPVDZ,
+    "ccpvdz": CCPVDZ,
+}
+
+
+def available_basis_sets() -> list[str]:
+    """Names accepted by :func:`get_element_shells`."""
+    return sorted({"sto-3g", "6-31g", "cc-pvdz"})
+
+
+def get_element_shells(basis: str, symbol: str):
+    """Return the contracted shells for ``symbol`` in basis ``basis``.
+
+    Raises:
+        KeyError: for unknown basis names or unsupported elements.
+    """
+    key = basis.strip().lower().replace("*", "(d)")
+    try:
+        table = _REGISTRY[key]
+    except KeyError as exc:
+        raise KeyError(
+            f"Basis set '{basis}' not available. Have: {available_basis_sets()}"
+        ) from exc
+    sym = symbol.capitalize()
+    try:
+        return table[sym]
+    except KeyError as exc:
+        raise KeyError(f"Element '{symbol}' not available in basis '{basis}'.") from exc

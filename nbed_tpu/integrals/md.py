@@ -1,0 +1,152 @@
+"""McMurchie–Davidson building blocks: Boys function, Hermite E and R tables.
+
+All functions build small fixed-shape jnp expressions for *static* angular
+momenta; they are designed to be called inside ``vmap`` over shell pairs or
+quartets. References: McMurchie & Davidson, J. Comput. Phys. 26, 218 (1978);
+Helgaker/Jorgensen/Olsen ch. 9.
+"""
+
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = ["boys", "e_table_1d", "hermite_r", "hermite_r_cross"]
+
+
+def boys(mmax: int, t):
+    """Boys functions F_0..F_mmax at ``t`` (any shape), stacked on axis 0.
+
+    Computed via the regularised incomplete gamma for F_mmax, then exact
+    downward recursion (stable). A Taylor series handles t -> 0.
+    """
+    t = jnp.asarray(t)
+    a = mmax + 0.5
+    tsafe = jnp.maximum(t, 1e-30)
+    f_big = 0.5 * jnp.exp(jax.lax.lgamma(a)) * jax.lax.igamma(a, tsafe) / tsafe**a
+    # series: F_m(t) = sum_k (-t)^k / (k! (2m+2k+1)), accurate for small t
+    f_small = jnp.zeros_like(t)
+    for k in range(14):
+        f_small = f_small + (-t) ** k / (math.factorial(k) * (2 * mmax + 2 * k + 1))
+    f_m = jnp.where(t < 1e-1, f_small, f_big)
+    out = [None] * (mmax + 1)
+    out[mmax] = f_m
+    exp_t = jnp.exp(-t)
+    for m in range(mmax, 0, -1):
+        out[m - 1] = (2 * t * out[m] + exp_t) / (2 * m - 1)
+    return jnp.stack(out)
+
+
+def e_table_1d(la: int, lb: int, a, b, ab_dist):
+    """Hermite expansion coefficients E_t^{ij} for one cartesian direction.
+
+    Args:
+        la, lb: static maximum powers for centres A and B.
+        a, b: primitive exponents (scalars under vmap).
+        ab_dist: A_x - B_x.
+
+    Returns:
+        (la+1, lb+1, la+lb+1) array; E[i, j, t] with E=0 for t > i+j.
+    """
+    p = a + b
+    mu = a * b / p
+    one_over_2p = 0.5 / p
+    pa = -b / p * ab_dist  # P - A
+    pb = a / p * ab_dist   # P - B
+
+    e = {}
+    e[(0, 0, 0)] = jnp.exp(-mu * ab_dist * ab_dist)
+
+    def get(i, j, t):
+        if t < 0 or t > i + j or i < 0 or j < 0:
+            return 0.0
+        return e[(i, j, t)]
+
+    for i in range(la + 1):
+        for j in range(lb + 1):
+            if i == 0 and j == 0:
+                continue
+            for t in range(i + j + 1):
+                if j == 0:
+                    val = (
+                        one_over_2p * get(i - 1, j, t - 1)
+                        + pa * get(i - 1, j, t)
+                        + (t + 1) * get(i - 1, j, t + 1)
+                    )
+                else:
+                    val = (
+                        one_over_2p * get(i, j - 1, t - 1)
+                        + pb * get(i, j - 1, t)
+                        + (t + 1) * get(i, j - 1, t + 1)
+                    )
+                e[(i, j, t)] = val
+
+    rows = []
+    for i in range(la + 1):
+        cols = []
+        for j in range(lb + 1):
+            cols.append(
+                jnp.stack([get(i, j, t) + jnp.zeros(()) for t in range(la + lb + 1)])
+            )
+        rows.append(jnp.stack(cols))
+    return jnp.stack(rows)
+
+
+def hermite_r(lmax: int, p, pq):
+    """Hermite Coulomb integrals R_{tuv}(p, PQ) for all t+u+v <= lmax.
+
+    Args:
+        lmax: static total Hermite order.
+        p: exponent-like prefactor (scalar under vmap).
+        pq: 3-vector P - Q (or P - C for nuclear attraction).
+
+    Returns:
+        (lmax+1, lmax+1, lmax+1) array (entries with t+u+v > lmax are zero).
+    """
+    t_arg = p * jnp.sum(pq * pq)
+    f = boys(lmax, t_arg)  # (lmax+1,)
+
+    # r[(n, t, u, v)] built by downward recursion in n
+    cache = {}
+    for n in range(lmax + 1):
+        cache[(n, 0, 0, 0)] = (-2.0 * p) ** n * f[n]
+
+    def get(n, t, u, v):
+        if t < 0 or u < 0 or v < 0:
+            return 0.0
+        key = (n, t, u, v)
+        if key in cache:
+            return cache[key]
+        if t >= 1:
+            val = (t - 1) * get(n + 1, t - 2, u, v) + pq[0] * get(n + 1, t - 1, u, v)
+        elif u >= 1:
+            val = (u - 1) * get(n + 1, t, u - 2, v) + pq[1] * get(n + 1, t, u - 1, v)
+        else:
+            val = (v - 1) * get(n + 1, t, u, v - 2) + pq[2] * get(n + 1, t, u, v - 1)
+        cache[key] = val
+        return val
+
+    out = jnp.zeros((lmax + 1, lmax + 1, lmax + 1))
+    for t in range(lmax + 1):
+        for u in range(lmax + 1 - t):
+            for v in range(lmax + 1 - t - u):
+                out = out.at[t, u, v].set(get(0, t, u, v) + jnp.zeros(()))
+    return out
+
+
+def hermite_r_cross(lab: int, lcd: int, alpha, pq):
+    """R4[t,u,v,tau,nu,phi] = R_{t+tau, u+nu, v+phi}(alpha, PQ) with signs.
+
+    The (-1)^{tau+nu+phi} factor of the bra-ket Hermite contraction is folded
+    in, so the ERI reduces to a plain einsum against the two E tensors.
+    """
+    r = hermite_r(lab + lcd, alpha, pq)
+    ts = np.arange(lab + 1)
+    taus = np.arange(lcd + 1)
+    idx_t = ts[:, None] + taus[None, :]  # (lab+1, lcd+1)
+    r4 = r[idx_t[:, None, None, :, None, None],
+           idx_t[None, :, None, None, :, None],
+           idx_t[None, None, :, None, None, :]]
+    sign = (-1.0) ** (taus[:, None, None] + taus[None, :, None] + taus[None, None, :])
+    return r4 * sign[None, None, None, :, :, :]
