@@ -1,0 +1,298 @@
+"""SCF engine: caches per-molecule operator tensors, runs the jitted SCF.
+
+This is the structural replacement for PySCF StreamObjects in the reference:
+where the reference configures a mutable ``scf.UHF``/``dft.UKS`` object and
+monkey-patches ``get_hcore`` (reference driver.py:527-529, 595-597), here an
+:class:`SCFEngine` owns immutable operator tensors (S, hcore, ERI
+supermatrices, grid AO tables) and ``kernel`` is a pure call: embedding
+potentials, electron-count overrides and Huzinaga projectors are explicit
+arguments. :class:`SCFSolution` is the light result container the embedding
+driver manipulates (environment deletion, virtual localization).
+"""
+
+import logging
+from dataclasses import dataclass, field
+from functools import cached_property
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..chem.molecule import Molecule
+from ..dft.functionals import resolve_functional
+from ..dft.xc import make_xc_fn
+from ..grids import build_grid, eval_aos
+from ..integrals import (
+    eri_tensor,
+    kinetic,
+    nuclear_attraction,
+    overlap,
+    point_charge_attraction,
+)
+from .hf import lowdin_x, make_rdm1, run_scf
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["SCFEngine", "SCFSolution", "VeffResult"]
+
+
+class VeffResult(NamedTuple):
+    """get_veff output with energy components (pyscf-veff-like)."""
+
+    matrix: jnp.ndarray  # (2, n, n)
+    ecoul: jnp.ndarray
+    exc: jnp.ndarray  # functional exc incl. -0.5*hyb*tr(D K) HF part
+
+
+def _spinify(dm):
+    dm = jnp.asarray(dm)
+    if dm.ndim == 2:
+        return jnp.stack([dm, dm]) * 0.5
+    return dm
+
+
+@dataclass(eq=False)
+class SCFEngine:
+    """Operator context for one molecule + method.
+
+    Args:
+        mol: molecule (static structure).
+        xc: functional name, or None for Hartree-Fock.
+        restricted: report style only — the solver is always spin-resolved
+          (the reference driver is likewise always unrestricted,
+          reference driver.py:69-78).
+    """
+
+    mol: Molecule
+    xc: Optional[str] = None
+    restricted: bool = False
+    conv_tol: float = 1e-6
+    dm_conv_tol: float = 1e-6
+    max_cycle: int = 50
+    grid_size: tuple = (80, 18)  # (n_radial, n_theta)
+    coords: Optional[np.ndarray] = None  # override geometry (bohr)
+
+    def __post_init__(self):
+        if self.coords is None:
+            self.coords = np.asarray(self.mol.coords)
+
+    # ---------------------------------------------------------- operators
+    @cached_property
+    def s(self):
+        return overlap(self.mol, jnp.asarray(self.coords))
+
+    @cached_property
+    def x(self):
+        return lowdin_x(self.s)
+
+    @cached_property
+    def hcore(self):
+        c = jnp.asarray(self.coords)
+        h = kinetic(self.mol, c) + nuclear_attraction(self.mol, c)
+        if self.mol.mm_coords is not None:
+            h = h + point_charge_attraction(
+                self.mol,
+                self.mol.mm_coords,
+                self.mol.mm_charges,
+                self.mol.mm_radii,
+                coords=c,
+            )
+        return h
+
+    @cached_property
+    def eri(self):
+        return eri_tensor(self.mol, jnp.asarray(self.coords))
+
+    @cached_property
+    def eri_j(self):
+        n = self.mol.nao
+        return self.eri.reshape(n * n, n * n)
+
+    @cached_property
+    def eri_k(self):
+        n = self.mol.nao
+        return jnp.transpose(self.eri, (0, 2, 1, 3)).reshape(n * n, n * n)
+
+    @cached_property
+    def _xc(self):
+        """(xc_fn or None, hyb)."""
+        if self.xc is None:
+            return None, 1.0
+        terms, hyb = resolve_functional(self.xc)
+        if not terms:
+            return None, hyb
+        points, weights = build_grid(self.mol, jnp.asarray(self.coords),
+                                     n_rad=self.grid_size[0],
+                                     n_theta=self.grid_size[1])
+        ao, ao_grad = eval_aos(self.mol, points, jnp.asarray(self.coords))
+        return make_xc_fn(ao, ao_grad, weights, self.xc), hyb
+
+    @property
+    def hyb(self):
+        return self._xc[1]
+
+    @property
+    def xc_fn(self):
+        return self._xc[0]
+
+    # ------------------------------------------------------------ methods
+    def energy_nuc(self):
+        return float(self.mol.energy_nuc(jnp.asarray(self.coords)))
+
+    def get_jk(self, dm):
+        n = self.mol.nao
+        dm = _spinify(dm)
+        j = (self.eri_j @ (dm[0] + dm[1]).reshape(-1)).reshape(n, n)
+        k = (self.eri_k @ dm.reshape(2, n * n).T).T.reshape(2, n, n)
+        return j, k
+
+    def get_veff(self, dm) -> VeffResult:
+        """J + Vxc - hyb*K with pyscf-compatible energy components
+        (used by subsystem DFT, reference driver.py:344-345,391)."""
+        dm = _spinify(dm)
+        j, k = self.get_jk(dm)
+        xc_fn, hyb = self._xc
+        if xc_fn is not None:
+            exc, vxc = xc_fn(dm)
+        else:
+            exc, vxc = jnp.asarray(0.0), jnp.zeros_like(dm)
+        v = j[None] + vxc - hyb * k
+        ecoul = 0.5 * jnp.einsum("ij,ji->", j, dm[0] + dm[1])
+        exc = exc - 0.5 * hyb * jnp.einsum("sij,sji->", k, dm)
+        return VeffResult(matrix=v, ecoul=ecoul, exc=exc)
+
+    def get_j(self, dm):
+        return self.get_jk(dm)[0]
+
+    def kernel(
+        self,
+        nelec=None,
+        v_emb=None,
+        dm_env_occ=None,
+        dm_env_virt=None,
+        dm0=None,
+        conv_tol=None,
+        dm_conv_tol=None,
+        max_cycle=None,
+    ) -> "SCFSolution":
+        """Run SCF; all embedding terms are explicit arguments."""
+        nelec = self.mol.nelec if nelec is None else nelec
+        xc_fn, hyb = self._xc
+        res = run_scf(
+            hcore=self.hcore,
+            s=self.s,
+            eri_j=self.eri_j,
+            eri_k=self.eri_k,
+            nelec=nelec,
+            v_emb=None if v_emb is None else jnp.asarray(v_emb),
+            xc_fn=xc_fn,
+            hyb=hyb,
+            dm_env_occ=None if dm_env_occ is None else _spinify(dm_env_occ),
+            dm_env_virt=None if dm_env_virt is None else _spinify(dm_env_virt),
+            dm0=None if dm0 is None else _spinify(dm0),
+            conv_tol=self.conv_tol if conv_tol is None else conv_tol,
+            dm_conv_tol=self.dm_conv_tol if dm_conv_tol is None else dm_conv_tol,
+            max_cycle=self.max_cycle if max_cycle is None else max_cycle,
+        )
+        e_tot = float(res.e_elec) + self.energy_nuc()
+        if not bool(res.converged):
+            logger.warning("SCF has NOT converged (%s cycles).", int(res.n_iter))
+        return SCFSolution(
+            engine=self,
+            nelec=tuple(int(x) for x in nelec),
+            mo_coeff=np.asarray(res.mo_coeff),
+            mo_energy=np.asarray(res.mo_energy),
+            mo_occ=np.asarray(res.mo_occ),
+            e_tot=e_tot,
+            converged=bool(res.converged),
+            v_emb=None if v_emb is None else np.asarray(v_emb),
+            huzinaga_op=np.asarray(res.huzinaga_op) if dm_env_occ is not None else None,
+        )
+
+
+@dataclass(eq=False)
+class SCFSolution:
+    """Mutable result container (the driver edits MO sets in-place when
+    deleting environment orbitals / localizing virtuals, mirroring the
+    reference's writes to PySCF objects, driver.py:593-630)."""
+
+    engine: SCFEngine
+    nelec: tuple
+    mo_coeff: np.ndarray  # (2, n, k)
+    mo_energy: np.ndarray  # (2, k)
+    mo_occ: np.ndarray  # (2, k) in electrons per spin orbital (0/1)
+    e_tot: float
+    converged: bool
+    v_emb: Optional[np.ndarray] = None  # (2, n, n)
+    huzinaga_op: Optional[np.ndarray] = None
+
+    @property
+    def mol(self) -> Molecule:
+        return self.engine.mol
+
+    def copy(self) -> "SCFSolution":
+        return SCFSolution(
+            engine=self.engine,
+            nelec=self.nelec,
+            mo_coeff=np.array(self.mo_coeff),
+            mo_energy=np.array(self.mo_energy),
+            mo_occ=np.array(self.mo_occ),
+            e_tot=self.e_tot,
+            converged=self.converged,
+            v_emb=None if self.v_emb is None else np.array(self.v_emb),
+            huzinaga_op=(
+                None if self.huzinaga_op is None else np.array(self.huzinaga_op)
+            ),
+        )
+
+    # -------------------------------------------------- pyscf-like surface
+    def get_hcore(self):
+        """Core Hamiltonian including the embedding potential — the explicit
+        analogue of the reference's patched ``get_hcore`` (driver.py:527)."""
+        h = np.asarray(self.engine.hcore)
+        if self.v_emb is None:
+            return h
+        return h[None] + np.asarray(self.v_emb)
+
+    def make_rdm1(self):
+        return np.asarray(
+            make_rdm1(jnp.asarray(self.mo_coeff), jnp.asarray(self.mo_occ))
+        )
+
+    def get_fock(self):
+        """Fock matrix (incl. v_emb and Huzinaga term) at the current
+        density."""
+        dm = self.make_rdm1()
+        veff = self.engine.get_veff(dm)
+        h = self.get_hcore()
+        if h.ndim == 2:
+            h = h[None]
+        f = h + np.asarray(veff.matrix)
+        if self.huzinaga_op is not None:
+            f = f + self.huzinaga_op
+        return f
+
+    def energy_nuc(self):
+        return self.engine.energy_nuc()
+
+    def energy_elec(self, dm=None):
+        """(e_elec, e_coul) at the given (default: current) density, with
+        v_emb folded into the one-body term — matching the reference's
+        patched ``energy_elec`` (scf/embedded_hcore_funcs.py:11-46)."""
+        dm = self.make_rdm1() if dm is None else np.asarray(_spinify(dm))
+        veff = self.engine.get_veff(dm)
+        h = self.get_hcore()
+        if h.ndim == 2:
+            h = h[None]
+        e1 = np.einsum("sij,sji->", h, dm)
+        xc_fn, hyb = self.engine._xc
+        if xc_fn is None:
+            j, k = self.engine.get_jk(dm)
+            e_coul = 0.5 * (
+                np.einsum("ij,ji->", np.asarray(j), dm[0] + dm[1])
+                - np.einsum("sij,sji->", np.asarray(k), dm)
+            )
+            return float(e1 + e_coul), float(e_coul)
+        # pyscf KS energy_elec returns e2 = ecoul + exc as second element
+        e2 = veff.ecoul + veff.exc
+        return float(e1 + e2), float(e2)
