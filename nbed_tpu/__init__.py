@@ -25,9 +25,23 @@ Float64 is enabled globally: quantum chemistry needs ~1e-10 in intermediate
 linear algebra to hit 1e-6 Ha end-to-end.
 """
 
+import os as _os
+
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# persistent compilation cache: the integral-class kernels are compile-heavy
+# and reused identically across processes (tests, bench, driver rounds).
+_cache_dir = _os.environ.get(
+    "NBED_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/nbed_tpu_jax")
+)
+try:
+    _os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # cache is an optimisation only
+    pass
 
 from .config import NbedConfig  # noqa: E402
 from .embed import nbed  # noqa: E402

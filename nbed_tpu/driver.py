@@ -1,0 +1,581 @@
+"""Projection-based embedding driver.
+
+Orchestrates: global KS/HF -> occupied localization -> subsystem-DFT energy
+decomposition -> embedding potential -> mu-shift and/or Huzinaga embedded
+SCF -> environment-orbital deletion -> virtual localization -> CCSD/FCI/
+DFT-in-DFT references -> second-quantised Hamiltonian.
+
+Functional re-design of the reference ``NbedDriver`` (reference
+nbed/driver.py:38-1231): identical pipeline semantics and result-dict keys,
+but embedding potentials are explicit SCF arguments instead of
+``get_hcore`` monkey-patches, and every compute stage is a jitted JAX
+kernel behind :class:`nbed_tpu.scf.engine.SCFEngine`. Like the reference
+(driver.py:69-78), the driver always runs unrestricted.
+
+Intentionally not replicated from the reference: the ``embed()`` savefile
+walrus bug (driver.py:918-921) — we actually write the file.
+"""
+
+import logging
+from functools import cached_property
+
+import numpy as np
+
+from .config import (
+    NbedConfig,
+    OccupiedLocalizerTypes,
+    ProjectorTypes,
+    VirtualLocalizerTypes,
+)
+from .chem import build_molecule
+from .exceptions import NbedDriverError
+from .ham.builder import HamiltonianBuilder
+from .localizers import (
+    BOYSLocalizer,
+    ConcentricLocalizer,
+    IBOLocalizer,
+    LocalizedSystem,
+    PAOLocalizer,
+    PMLocalizer,
+    SPADELocalizer,
+)
+from .scf.engine import SCFEngine, SCFSolution
+from .solvers import run_ccsd, run_fci
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["NbedDriver", "run_emb_fci", "run_emb_ccsd", "dft_in_dft"]
+
+
+class NbedDriver:
+    """Run projection-based embedding from a validated config.
+
+    Attributes populated by :meth:`embed` (same names as the reference):
+    ``localized_system``, ``e_act``, ``e_env``, ``two_e_cross``, ``e_nuc``,
+    ``embedding_potential``, ``mu`` / ``huzinaga`` result dicts,
+    ``embedded_scf``, ``classical_energy``.
+    """
+
+    def __init__(self, config: NbedConfig):
+        self.config = config
+        self.mu: dict | None = None
+        self.huzinaga: dict | None = None
+        self.active_geometry = f"{config.n_active_atoms}\n\n" + "\n".join(
+            config.geometry.splitlines()[2: 2 + config.n_active_atoms]
+        )
+        self.run_qmmm = None not in [
+            config.mm_charges, config.mm_coords, config.mm_radii,
+        ]
+
+    # ------------------------------------------------------------ builders
+    @cached_property
+    def _mol(self):
+        cfg = self.config
+        return build_molecule(
+            cfg.geometry,
+            cfg.basis,
+            charge=cfg.charge,
+            spin=cfg.spin,
+            unit=cfg.unit,
+            mm_coords=cfg.mm_coords if self.run_qmmm else None,
+            mm_charges=cfg.mm_charges if self.run_qmmm else None,
+            mm_radii=cfg.mm_radii if self.run_qmmm else None,
+        )
+
+    @cached_property
+    def _hf_engine(self) -> SCFEngine:
+        return SCFEngine(
+            self._mol, xc=None,
+            conv_tol=self.config.convergence,
+            max_cycle=self.config.max_hf_cycles,
+        )
+
+    @cached_property
+    def _ks_engine(self) -> SCFEngine:
+        return SCFEngine(
+            self._mol, xc=self.config.xc_functional,
+            conv_tol=self.config.convergence,
+            max_cycle=self.config.max_dft_cycles,
+        )
+
+    @cached_property
+    def _global_hf(self) -> SCFSolution:
+        sol = self._hf_engine.kernel()
+        logger.info("Global HF: %s", sol.e_tot)
+        return sol
+
+    @cached_property
+    def _global_ks(self) -> SCFSolution:
+        sol = self._ks_engine.kernel()
+        logger.info("Global UKS: %s", sol.e_tot)
+        if not sol.converged:
+            logger.warning("(cheap) global DFT calculation has NOT converged!")
+        return sol
+
+    @cached_property
+    def _global_ccsd(self):
+        """(e_tot, e_corr) of full-system CCSD on the global HF reference."""
+        hb = HamiltonianBuilder(self._global_hf, 0.0)
+        _, h1, h2 = hb.build()
+        occ_mask = self._interleaved_occ(self._global_hf)
+        e_corr, e_ref = run_ccsd(h1, h2, occ_mask, conv_tol=self.config.convergence)
+        e_tot = self._global_hf.e_tot + e_corr
+        logger.info("Global CCSD: %s", e_tot)
+        return e_tot, e_corr
+
+    @cached_property
+    def _global_fci(self):
+        """Full-system FCI total energy (exact diagonalisation)."""
+        hb = HamiltonianBuilder(self._global_hf, 0.0)
+        _, h1, h2 = hb.build()
+        na, nb = self._global_hf.nelec
+        vals, _ = run_fci(0.0, h1, h2, 2 * h1.shape[0] // 2, (na, nb))
+        e_tot = float(vals[0]) + self._hf_engine.energy_nuc()
+        logger.info("Global FCI: %s", e_tot)
+        return e_tot
+
+    @staticmethod
+    def _interleaved_occ(sol: SCFSolution) -> np.ndarray:
+        occ = np.asarray(sol.mo_occ)
+        k = occ.shape[-1]
+        mask = np.zeros(2 * k, dtype=bool)
+        mask[::2] = occ[0] > 0
+        mask[1::2] = occ[1] > 0
+        return mask
+
+    # ---------------------------------------------------------- localizers
+    def _localize(self) -> LocalizedSystem:
+        cfg = self.config
+        match cfg.localization:
+            case OccupiedLocalizerTypes.SPADE:
+                localizer = SPADELocalizer(
+                    self._global_ks, cfg.n_active_atoms,
+                    max_shells=cfg.max_shells,
+                    n_mo_overwrite=self.n_mo_overwrite,
+                )
+            case OccupiedLocalizerTypes.BOYS:
+                localizer = BOYSLocalizer(
+                    self._global_ks, cfg.n_active_atoms,
+                    occ_cutoff=cfg.occupied_threshold,
+                    virt_cutoff=cfg.virtual_threshold,
+                )
+            case OccupiedLocalizerTypes.IBO:
+                localizer = IBOLocalizer(
+                    self._global_ks, cfg.n_active_atoms,
+                    occ_cutoff=cfg.occupied_threshold,
+                    virt_cutoff=cfg.virtual_threshold,
+                )
+            case OccupiedLocalizerTypes.PM:
+                localizer = PMLocalizer(
+                    self._global_ks, cfg.n_active_atoms,
+                    occ_cutoff=cfg.occupied_threshold,
+                    virt_cutoff=cfg.virtual_threshold,
+                )
+        self.localizer = localizer
+        return localizer.localize()
+
+    @cached_property
+    def _env_projector(self) -> np.ndarray:
+        """S D_env S per spin (reference driver.py:433-449)."""
+        s = np.asarray(self._ks_engine.s)
+        dm_env = self.localized_system.dm_enviro
+        if dm_env.ndim == 2:
+            return s @ dm_env @ s
+        return np.array([s @ dm_env[0] @ s, s @ dm_env[1] @ s])
+
+    # -------------------------------------------------------- subsystem DFT
+    def _subsystem_dft(self, localized_system) -> tuple:
+        """Energy decomposition e_act / e_env / two-electron cross term
+        (reference driver.py:315-431)."""
+        engine = self._ks_engine
+        hcore = np.asarray(engine.hcore)
+
+        def components(dm):
+            veff = engine.get_veff(dm)
+            dm_tot = dm[0] + dm[1] if dm.ndim == 3 else dm
+            e = (
+                np.einsum("ij,ji->", hcore, dm_tot)
+                + float(veff.ecoul) + float(veff.exc)
+            )
+            j = np.asarray(engine.get_j(dm))
+            return e, veff, j
+
+        dm_act = localized_system.dm_active
+        dm_env = localized_system.dm_enviro
+        e_act, veff_act, j_act = components(dm_act)
+        e_env, veff_env, j_env = components(dm_env)
+
+        total_dm = dm_act + dm_env
+        if dm_act.ndim == 3:
+            total_dm = total_dm[0] + total_dm[1]
+        veff_total = engine.get_veff(total_dm)
+        e_xc_total = float(veff_total.exc)
+
+        if dm_act.ndim == 2:
+            j_cross = 0.5 * (
+                np.einsum("ij,ij", dm_act, j_env) + np.einsum("ij,ij", dm_env, j_act)
+            )
+        else:
+            # J is built from the spin-summed density: same for both spins
+            j_cross = 0.5 * (
+                np.einsum("ij,ij", dm_act[0] + dm_act[1], j_env)
+                + np.einsum("ij,ij", dm_env[0] + dm_env[1], j_act)
+            )
+        xc_cross = e_xc_total - float(veff_act.exc) - float(veff_env.exc)
+        two_e_cross = j_cross + xc_cross
+        return e_act, e_env, two_e_cross
+
+    # ------------------------------------------------------------ embedding
+    def _active_nelec(self) -> tuple:
+        inds = self.localized_system.active_mo_inds
+        if inds.ndim == 1:
+            return (len(inds), len(inds))
+        return (len(inds[0]), len(inds[1]))
+
+    def _mu_embed(self, engine: SCFEngine, embedding_potential) -> tuple:
+        """mu-shift embedding (reference driver.py:500-538)."""
+        v_emb = self.config.mu_level_shift * self._env_projector + embedding_potential
+        sol = engine.kernel(nelec=self._active_nelec(), v_emb=v_emb)
+        logger.info(
+            "Embedded scf energy MU_SHIFT: %s, converged: %s",
+            sol.e_tot, sol.converged,
+        )
+        return sol, v_emb
+
+    def _huzinaga_embed(self, engine: SCFEngine, embedding_potential,
+                        localized_system, dmat_initial_guess=None) -> tuple:
+        """Huzinaga-projector embedding (reference driver.py:540-632)."""
+        if localized_system.c_loc_virt is not None:
+            cv = localized_system.c_loc_virt
+            virt_proj = cv @ cv.swapaxes(-1, -2)
+            eye = np.eye(cv.shape[-2])
+            dm_env_virt = eye[None] - localized_system.dm_loc_occ - virt_proj
+        else:
+            dm_env_virt = None
+
+        sol = engine.kernel(
+            nelec=self._active_nelec(),
+            v_emb=embedding_potential,
+            dm_env_occ=localized_system.dm_enviro,
+            dm_env_virt=dm_env_virt,
+            dm0=dmat_initial_guess,
+        )
+        # Freeze the converged Huzinaga operator into the effective core
+        # Hamiltonian, as the reference writes back to the PySCF object
+        # (driver.py:595-597).
+        v_emb = sol.huzinaga_op + np.asarray(embedding_potential)
+        sol.v_emb = v_emb
+        sol.huzinaga_op = None
+        logger.info("Embedded scf energy HUZINAGA: %s", sol.e_tot)
+        return sol, v_emb
+
+    def _delete_environment(self, projector, sol: SCFSolution,
+                            localized_system, env_projector) -> SCFSolution:
+        """Remove environment MOs from the embedded solution
+        (reference driver.py:634-791)."""
+        c_env = localized_system.c_enviro
+        if c_env.ndim == 2:
+            n_env_mos = c_env.shape[-1]
+            sol.mo_coeff, sol.mo_energy, sol.mo_occ = _delete_spin_environment(
+                projector, n_env_mos, sol.mo_coeff, sol.mo_energy, sol.mo_occ,
+                env_projector,
+            )
+        else:
+            inds = localized_system.enviro_mo_inds
+            n_env_mos = len(set(inds[0].tolist()) | set(inds[1].tolist()))
+            parts = [
+                _delete_spin_environment(
+                    projector, n_env_mos, sol.mo_coeff[s], sol.mo_energy[s],
+                    sol.mo_occ[s], env_projector[s],
+                )
+                for s in (0, 1)
+            ]
+            sol.mo_coeff = np.array([parts[0][0], parts[1][0]])
+            sol.mo_energy = np.array([parts[0][1], parts[1][1]])
+            sol.mo_occ = np.array([parts[0][2], parts[1][2]])
+        return sol
+
+    # ---------------------------------------------------------------- main
+    def embed(self, init_huzinaga_rhf_with_mu: bool = False,
+              n_mo_overwrite: tuple = (None, None)) -> None:
+        """Run the full embedding pipeline (reference driver.py:808-923)."""
+        cfg = self.config
+        if cfg.virtual_localization is VirtualLocalizerTypes.PROJECTED_AO:
+            raise NotImplementedError("PAO not yet fully implemented.")
+
+        init_huzinaga_rhf_with_mu = (
+            init_huzinaga_rhf_with_mu or cfg.init_huzinaga_rhf_with_mu
+        )
+        self.e_nuc = self._ks_engine.energy_nuc()
+
+        if n_mo_overwrite is not None and n_mo_overwrite != (None, None):
+            self.n_mo_overwrite = n_mo_overwrite
+        else:
+            self.n_mo_overwrite = cfg.n_mo_overwrite
+
+        self.localized_system = self._localize()
+        logger.info("Active MO indices: %s", self.localized_system.active_mo_inds)
+        logger.info("Environment MO indices: %s", self.localized_system.enviro_mo_inds)
+
+        self.e_act, self.e_env, self.two_e_cross = self._subsystem_dft(
+            self.localized_system
+        )
+
+        total_dm = self.localized_system.dm_active + self.localized_system.dm_enviro
+        g_act_and_env = np.asarray(self._ks_engine.get_veff(total_dm).matrix)
+        g_act = np.asarray(
+            self._ks_engine.get_veff(self.localized_system.dm_active).matrix
+        )
+        self.embedding_potential = g_act_and_env - g_act
+
+        if cfg.projector in (ProjectorTypes.MU, ProjectorTypes.BOTH) or \
+                init_huzinaga_rhf_with_mu:
+            embedded_scf, v_emb = self._mu_embed(
+                self._hf_engine, self.embedding_potential
+            )
+            self.mu = self.post_embed(embedded_scf, v_emb, ProjectorTypes.MU)
+
+        if cfg.projector in (ProjectorTypes.HUZ, ProjectorTypes.BOTH):
+            dm0 = (
+                self.mu["scf"].make_rdm1() if init_huzinaga_rhf_with_mu else None
+            )
+            embedded_scf, v_emb = self._huzinaga_embed(
+                self._hf_engine, self.embedding_potential,
+                self.localized_system, dm0,
+            )
+            self.huzinaga = self.post_embed(embedded_scf, v_emb, ProjectorTypes.HUZ)
+
+        match cfg.projector:
+            case ProjectorTypes.MU:
+                self.embedded_scf = self.mu["scf"]
+                self.classical_energy = self.mu["classical_energy"]
+            case ProjectorTypes.HUZ:
+                self.embedded_scf = self.huzinaga["scf"]
+                self.classical_energy = self.huzinaga["classical_energy"]
+            case ProjectorTypes.BOTH:
+                self.embedded_scf = (self.mu["scf"], self.huzinaga["scf"])
+                self.classical_energy = (
+                    self.mu["classical_energy"],
+                    self.huzinaga["classical_energy"],
+                )
+            case _:
+                logger.warning("Not assigning embedded_scf or classical_energy")
+
+        if self.config.savefile is not None:
+            self._save(self.config.savefile)
+        logger.info("Embedding complete.")
+
+    def post_embed(self, embedded_scf: SCFSolution, v_emb, projector) -> dict:
+        """Projector-dependent result assembly (reference driver.py:925-1041)."""
+        cfg = self.config
+        result = {}
+        result["scf"] = embedded_scf.copy()
+        result["v_emb"] = np.asarray(v_emb)
+        result["mo_energies_emb_pre_del"] = np.asarray(result["scf"].mo_energy)
+        result["scf"] = self._delete_environment(
+            projector, result["scf"], self.localized_system, self._env_projector
+        )
+        result["mo_energies_emb_post_del"] = np.asarray(result["scf"].mo_energy)
+
+        dm_act = self.localized_system.dm_active
+        if dm_act.ndim == 2:
+            result["correction"] = np.einsum("ij,ij", result["v_emb"], dm_act)
+            result["beta_correction"] = 0.0
+        else:
+            result["correction"] = np.einsum("ij,ij", result["v_emb"][0], dm_act[0])
+            result["beta_correction"] = np.einsum(
+                "ij,ij", result["v_emb"][1], dm_act[1]
+            )
+
+        match cfg.virtual_localization:
+            case VirtualLocalizerTypes.CONCENTRIC:
+                result["cl"] = ConcentricLocalizer(
+                    result["scf"], cfg.n_active_atoms, max_shells=cfg.max_shells,
+                )
+                result["scf"] = result["cl"].localize_virtual()
+            case VirtualLocalizerTypes.DISABLE:
+                logger.debug("Not performing virtual localization.")
+            case _:
+                logger.debug("No method for %s", cfg.virtual_localization)
+
+        corr = result["correction"] + result["beta_correction"]
+        result["e_rhf"] = (
+            result["scf"].e_tot + self.e_env + self.two_e_cross - corr
+        )
+        result["classical_energy"] = (
+            self.e_env + self.two_e_cross + self.e_nuc - corr
+        )
+
+        if cfg.run_ccsd_emb:
+            e_ccsd_tot, e_ccsd_corr = run_emb_ccsd(
+                result["scf"], convergence=cfg.convergence
+            )
+            result["e_ccsd"] = (
+                e_ccsd_tot + self.e_env + self.two_e_cross - corr
+            )
+            result["ccsd_emb"] = e_ccsd_tot - self.e_nuc
+            logger.info("CCSD Energy %s: %s", projector, result["e_ccsd"])
+
+        if cfg.run_fci_emb:
+            e_fci_tot = run_emb_fci(result["scf"], convergence=cfg.convergence)
+            result["e_fci"] = e_fci_tot + self.e_env + self.two_e_cross - corr
+            result["fci_emb"] = e_fci_tot - self.e_nuc
+            logger.info("FCI Energy %s: %s", projector, result["e_fci"])
+
+        result["hf_emb"] = result["scf"].e_tot - self.e_nuc
+
+        if cfg.run_dft_in_dft:
+            result.update(dft_in_dft(self, projector))
+
+        hb = HamiltonianBuilder(result["scf"], result["classical_energy"])
+        result["second_quantised"] = hb.build()
+        return result
+
+    # ------------------------------------------------------------- helpers
+    def _run_emb_ccsd(self, scf_sol, frozen=None):
+        """(ccsd_like, e_corr) — parity shim for the reference API."""
+        e_tot, e_corr = run_emb_ccsd(scf_sol, frozen, self.config.convergence)
+        return _EnergyResult(e_tot), e_corr
+
+    def _run_emb_fci(self, scf_sol, frozen=None):
+        return _EnergyResult(run_emb_fci(scf_sol, frozen, self.config.convergence))
+
+    def _dft_in_dft(self, projection_method) -> dict:
+        return dft_in_dft(self, projection_method)
+
+    def _save(self, filename):
+        """JSON dump of scalar results (reference intent, driver.py:918-921,
+        minus its walrus bug and unserialisable arrays)."""
+        import json
+
+        def clean(d):
+            if d is None:
+                return None
+            out = {}
+            for key, val in d.items():
+                if isinstance(val, (int, float, np.floating)):
+                    out[key] = float(val)
+            return out
+
+        with open(filename, "w") as f:
+            json.dump({"mu": clean(self.mu), "huzinaga": clean(self.huzinaga)}, f)
+
+
+class _EnergyResult:
+    """Tiny shim exposing ``.e_tot`` for API parity with PySCF returns."""
+
+    def __init__(self, e_tot):
+        self.e_tot = e_tot
+
+
+def _delete_spin_environment(projector, n_env_mo, mo_coeff, mo_energy, mo_occ,
+                             environment_projector):
+    """Drop the environment MOs of one spin channel
+    (reference driver.py:713-791)."""
+    if projector is ProjectorTypes.HUZ:
+        overlap = np.einsum(
+            "ij,ki->i", mo_coeff.swapaxes(-1, -2), environment_projector @ mo_coeff
+        )
+        frozen = list(overlap.argsort()[::-1][:n_env_mo])
+    else:  # MU: level-shifted orbitals end up highest
+        shift = mo_coeff.shape[-1] - n_env_mo
+        frozen = list(range(shift, mo_coeff.shape[-1]))
+
+    active = [i for i in range(mo_coeff.shape[-1]) if i not in frozen]
+    logger.info("Orbital indices for embedded system: %s", active)
+    logger.info("Orbital indices removed: %s", frozen)
+    return mo_coeff[:, active], mo_energy[active], mo_occ[active]
+
+
+def run_emb_ccsd(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
+    """Embedded CCSD on the (possibly truncated) embedded SCF solution.
+
+    Returns (e_tot, e_corr); the spin-resolved embedded core Hamiltonian is
+    handled natively by the spin-orbital solver (cf. reference
+    driver.py:1105-1135).
+    """
+    if frozen is not None:
+        raise NotImplementedError("Frozen-orbital embedded CCSD not implemented.")
+    hb = HamiltonianBuilder(scf_sol, 0.0)
+    _, h1, h2 = hb.build()
+    occ_mask = NbedDriver._interleaved_occ(scf_sol)
+    e_corr, e_ref_elec = run_ccsd(h1, h2, occ_mask, conv_tol=convergence * 1e-2)
+    e_tot = e_ref_elec + scf_sol.energy_nuc() + e_corr
+    logger.info("Embedded CCSD correlation energy: %s", e_corr)
+    return e_tot, e_corr
+
+
+def run_emb_fci(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
+    """Embedded FCI (exact diagonalisation) total energy
+    (reference driver.py:1044-1102)."""
+    if frozen is not None:
+        raise NotImplementedError("Frozen-orbital embedded FCI not implemented.")
+    hb = HamiltonianBuilder(scf_sol, 0.0)
+    _, h1, h2 = hb.build()
+    occ = np.asarray(scf_sol.mo_occ)
+    if occ.ndim == 2:
+        nelec = (int(np.sum(occ[0] > 0)), int(np.sum(occ[1] > 0)))
+    else:
+        nelec = (int(np.sum(occ > 0)), int(np.sum(occ > 0)))
+    vals, _ = run_fci(0.0, h1, h2, h1.shape[0], nelec)
+    e_tot = float(vals[0]) + scf_sol.energy_nuc()
+    logger.info("FCI embedding energy: %s", e_tot)
+    return e_tot
+
+
+def dft_in_dft(driver: NbedDriver, projection_method) -> dict:
+    """DFT-in-DFT self-consistency check (reference driver.py:1138-1231)."""
+    result = {}
+    e_nuc = driver._ks_engine.energy_nuc()
+    engine = driver._ks_engine
+    hcore_std = np.asarray(engine.hcore)
+
+    if projection_method is ProjectorTypes.MU:
+        result["scf_dft"], result["v_emb_dft"] = driver._mu_embed(
+            engine, driver.embedding_potential
+        )
+    else:
+        result["scf_dft"], result["v_emb_dft"] = driver._huzinaga_embed(
+            engine, driver.embedding_potential, driver.localized_system
+        )
+    result["scf_dft"] = driver._delete_environment(
+        projection_method, result["scf_dft"], driver.localized_system,
+        driver._env_projector,
+    )
+
+    dm_act = driver.localized_system.dm_active
+    y_emb = result["scf_dft"].make_rdm1()
+    if dm_act.ndim == 2:
+        result["dft_correction"] = np.einsum(
+            "ij,ij", result["v_emb_dft"], (y_emb - dm_act)
+        )
+        result["dft_correction_beta"] = 0.0
+        veff = engine.get_veff(y_emb)
+        rks_e_elec = (
+            float(veff.exc) + float(veff.ecoul)
+            + np.einsum("ij,ij", hcore_std, y_emb)
+        )
+    else:
+        result["dft_correction"] = np.einsum(
+            "ij,ij", result["v_emb_dft"][0], (y_emb[0] - dm_act[0])
+        )
+        result["dft_correction_beta"] = np.einsum(
+            "ij,ij", result["v_emb_dft"][1], (y_emb[1] - dm_act[1])
+        )
+        veff = engine.get_veff(y_emb)
+        rks_e_elec = (
+            float(veff.exc) + float(veff.ecoul)
+            + np.einsum("ij,ij", hcore_std, y_emb[0])
+            + np.einsum("ij,ij", hcore_std, y_emb[1])
+        )
+
+    result["e_dft_in_dft"] = (
+        rks_e_elec
+        + driver.e_env
+        + driver.two_e_cross
+        + result["dft_correction"]
+        + result["dft_correction_beta"]
+        + e_nuc
+    )
+    result["emb_dft"] = rks_e_elec
+    return result

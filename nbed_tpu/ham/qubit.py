@@ -1,0 +1,228 @@
+"""Fermion-to-qubit mappings with a bitmask Pauli algebra.
+
+Pauli strings are stored in canonical symplectic form ``coeff * X^x Z^z``
+(per-qubit overlap X&Z encodes Y up to a tracked phase), so products are two
+XORs and a popcount-controlled sign — no symbolic algebra. Jordan-Wigner and
+Bravyi-Kitaev (Fenwick-tree / Seeley-Richard-Love construction) share one
+ladder-operator interface.
+
+Replaces the reference's OpenFermion usage (``jordan_wigner`` +
+``InteractionOperator``, reference tests/test_builder.py:62-68); qubit-
+Hamiltonian terms/sec is a headline metric (BASELINE.md).
+"""
+
+import numpy as np
+from scipy.sparse.linalg import LinearOperator, eigsh
+
+__all__ = ["PauliSum", "jordan_wigner", "bravyi_kitaev",
+           "pauli_sum_to_sparse", "pauli_ground_state"]
+
+
+def _popcount(x: int) -> int:
+    return bin(x).count("1")
+
+
+class PauliSum:
+    """Sum of Pauli strings over ``n_qubits`` in canonical X^x Z^z form."""
+
+    def __init__(self, n_qubits: int, terms=None):
+        self.n_qubits = n_qubits
+        self.terms = dict(terms or {})  # (x_mask, z_mask) -> complex coeff
+
+    def add(self, coeff, x, z):
+        if coeff == 0.0:
+            return
+        key = (x, z)
+        new = self.terms.get(key, 0.0) + coeff
+        if abs(new) < 1e-14:
+            self.terms.pop(key, None)
+        else:
+            self.terms[key] = new
+
+    def __len__(self):
+        return len(self.terms)
+
+    def compress(self, tol=1e-12):
+        self.terms = {k: v for k, v in self.terms.items() if abs(v) > tol}
+        return self
+
+    def to_strings(self):
+        """[(coeff, 'XIZY...')] with true Pauli-letter coefficients."""
+        out = []
+        for (x, z), c in sorted(self.terms.items()):
+            letters = []
+            n_y = 0
+            for q in range(self.n_qubits):
+                bx, bz = (x >> q) & 1, (z >> q) & 1
+                if bx and bz:
+                    letters.append("Y")
+                    n_y += 1
+                elif bx:
+                    letters.append("X")
+                elif bz:
+                    letters.append("Z")
+                else:
+                    letters.append("I")
+            # canonical X^xZ^z = (-i)^{nY} * sigma-string
+            out.append((c * ((-1j) ** n_y), "".join(letters)))
+        return out
+
+
+def _mul(term_a, term_b):
+    """(c, x, z) x (c, x, z) -> (c, x, z); phase from Z^z1 past X^x2."""
+    ca, xa, za = term_a
+    cb, xb, zb = term_b
+    sign = -1.0 if (_popcount(za & xb) & 1) else 1.0
+    return (ca * cb * sign, xa ^ xb, za ^ zb)
+
+
+def _lowbit(i: int) -> int:
+    return i & (-i)
+
+
+def _bk_sets(j: int, n: int):
+    """Fenwick-tree update/parity/flip sets for mode j (0-indexed)."""
+    i = j + 1  # 1-indexed Fenwick node
+    update = 0
+    k = i + _lowbit(i)
+    while k <= n:
+        update |= 1 << (k - 1)
+        k += _lowbit(k)
+    parity = 0
+    k = j  # prefix count of modes < j
+    while k > 0:
+        parity |= 1 << (k - 1)
+        k -= _lowbit(k)
+    flip = 0
+    k = i - 1
+    while k > i - _lowbit(i):
+        flip |= 1 << (k - 1)
+        k -= _lowbit(k)
+    return update, parity, flip
+
+
+def _ladder_factory(mapping: str, n: int):
+    """Return f(mode, dagger) -> [(coeff, x, z), ...] (2 strings each)."""
+
+    def jw(mode, dagger):
+        x = 1 << mode
+        zlow = (1 << mode) - 1
+        s = -0.5 if dagger else 0.5
+        # a = (X + iY)/2 Z_< = (X - XZ)/2 Z_<;  a+ = (X + XZ)/2 Z_<
+        return [(0.5, x, zlow), (-s, x, zlow | x)]
+
+    def bk(mode, dagger):
+        update, parity, flip = _bk_sets(mode, n)
+        xmask = update | (1 << mode)
+        c_term = (0.5, xmask, parity)  # c_j = X_U X_j Z_P
+        rho = parity & ~flip if (mode & 1) else parity
+        # d_j = X_U Y_j Z_rho; Y = i X Z in canonical form
+        d_term = (0.5j, xmask, rho | (1 << mode))
+        sign = -1j if dagger else 1j
+        # a = (c + i d)/2, a+ = (c - i d)/2 — halves folded into the 0.5s
+        return [c_term, (sign * d_term[0] * 1.0, d_term[1], d_term[2])]
+
+    return jw if mapping == "jw" else bk
+
+
+def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> PauliSum:
+    h1 = np.asarray(h1)
+    h2 = np.asarray(h2)
+    n = h1.shape[0]
+    ladder = _ladder_factory(mapping, n)
+    # cache single-operator strings
+    dag = [ladder(p, True) for p in range(n)]
+    ann = [ladder(p, False) for p in range(n)]
+
+    out = PauliSum(n)
+    out.add(complex(constant), 0, 0)
+
+    for p, q in zip(*np.nonzero(np.abs(h1) > tol)):
+        c = complex(h1[p, q])
+        for t1 in dag[p]:
+            for t2 in ann[q]:
+                cc, x, z = _mul(t1, t2)
+                out.add(c * cc, x, z)
+
+    idx = np.nonzero(np.abs(h2) > tol)
+    for p, q, r, s in zip(*idx):
+        c = complex(h2[p, q, r, s])
+        for t1 in dag[p]:
+            for t2 in dag[q]:
+                t12 = _mul(t1, t2)
+                for t3 in ann[r]:
+                    t123 = _mul(t12, t3)
+                    for t4 in ann[s]:
+                        cc, x, z = _mul(t123, t4)
+                        out.add(c * cc, x, z)
+    return out.compress(tol)
+
+
+def jordan_wigner(constant, h1, h2, tol=1e-12) -> PauliSum:
+    """JW-map an interaction operator ``(constant, h1, h2)`` to qubits."""
+    return _map_interaction_operator(constant, h1, h2, "jw", tol)
+
+
+def bravyi_kitaev(constant, h1, h2, tol=1e-12) -> PauliSum:
+    """BK-map (Fenwick-tree construction) an interaction operator."""
+    return _map_interaction_operator(constant, h1, h2, "bk", tol)
+
+
+def _term_arrays(psum: PauliSum):
+    xs = np.array([k[0] for k in psum.terms], dtype=np.int64)
+    zs = np.array([k[1] for k in psum.terms], dtype=np.int64)
+    cs = np.array(list(psum.terms.values()), dtype=np.complex128)
+    return xs, zs, cs
+
+
+def _matvec_factory(psum: PauliSum):
+    n = psum.n_qubits
+    dim = 1 << n
+    xs, zs, cs = _term_arrays(psum)
+    cols = np.arange(dim, dtype=np.int64)
+
+    # parity of col & z per term, computed lazily per matvec chunk
+    def matvec(v):
+        out = np.zeros(dim, dtype=np.complex128)
+        for x, z, c in zip(xs, zs, cs):
+            par = _parity_int64(cols & z)
+            out[cols ^ x] += c * ((-1.0) ** par) * v
+        return out
+
+    return matvec, dim
+
+
+def _parity_int64(arr):
+    arr = arr.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        arr ^= arr >> shift
+    return arr & 1
+
+
+def pauli_sum_to_sparse(psum: PauliSum):
+    """Explicit CSR matrix (use only for small qubit counts)."""
+    from scipy.sparse import coo_matrix
+
+    n = psum.n_qubits
+    dim = 1 << n
+    xs, zs, cs = _term_arrays(psum)
+    cols = np.arange(dim, dtype=np.int64)
+    rows_all, cols_all, data_all = [], [], []
+    for x, z, c in zip(xs, zs, cs):
+        par = _parity_int64(cols & z)
+        rows_all.append(cols ^ x)
+        cols_all.append(cols)
+        data_all.append(c * ((-1.0) ** par))
+    return coo_matrix(
+        (np.concatenate(data_all),
+         (np.concatenate(rows_all), np.concatenate(cols_all))),
+        shape=(dim, dim),
+    ).tocsr()
+
+
+def pauli_ground_state(psum: PauliSum, k: int = 1):
+    """Lowest-k eigenvalues via matrix-free Lanczos (no 2^n x 2^n storage)."""
+    matvec, dim = _matvec_factory(psum)
+    op = LinearOperator((dim, dim), matvec=matvec, dtype=np.complex128)
+    vals = eigsh(op, k=k, which="SA", return_eigenvectors=False)
+    return np.sort(vals)

@@ -1,0 +1,20 @@
+"""Multi-chip scale-out: conformer data parallelism + sharded Fock builds.
+
+The reference has no distributed code at all (SURVEY.md §2.3); the natural
+TPU-native parallel dimensions for this domain are:
+
+- **data parallel**: ``vmap`` over conformer/geometry batches (every
+  integral/SCF kernel is a pure function of coordinates with static shapes),
+  sharded over a mesh 'batch' axis;
+- **model parallel**: the O(N^4) ERI supermatrices sharded over a 'model'
+  axis, so the per-iteration J/K GEMMs run as partial contractions joined by
+  ICI collectives (XLA inserts psum/all-gather from sharding annotations).
+"""
+
+from .sharding import (
+    batched_hf_energies,
+    make_mesh,
+    sharded_scf,
+)
+
+__all__ = ["make_mesh", "sharded_scf", "batched_hf_energies"]

@@ -7,7 +7,11 @@ Huzinaga projector are explicit optional terms of the Fock build, not
 monkey-patches of ``get_hcore`` (cf. reference driver.py:527-529).
 """
 
+from .engine import SCFEngine, SCFSolution
 from .hf import SCFResult, make_rdm1, run_scf
+from .huzinaga import huzinaga_scf
 
-
-__all__ = ["run_scf", "SCFResult", "make_rdm1"]
+__all__ = [
+    "run_scf", "SCFResult", "make_rdm1",
+    "SCFEngine", "SCFSolution", "huzinaga_scf",
+]

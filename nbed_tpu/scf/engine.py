@@ -69,7 +69,7 @@ class SCFEngine:
     conv_tol: float = 1e-6
     dm_conv_tol: float = 1e-6
     max_cycle: int = 50
-    grid_size: tuple = (80, 18)  # (n_radial, n_theta)
+    grid_size: tuple = (96, 22)  # (n_radial, n_theta)
     coords: Optional[np.ndarray] = None  # override geometry (bohr)
 
     def __post_init__(self):
@@ -197,6 +197,22 @@ class SCFEngine:
         e_tot = float(res.e_elec) + self.energy_nuc()
         if not bool(res.converged):
             logger.warning("SCF has NOT converged (%s cycles).", int(res.n_iter))
+        if self.restricted:
+            if nelec[0] != nelec[1]:
+                raise ValueError("Restricted reporting requires n_alpha == n_beta.")
+            return SCFSolution(
+                engine=self,
+                nelec=tuple(int(x) for x in nelec),
+                mo_coeff=np.asarray(res.mo_coeff[0]),
+                mo_energy=np.asarray(res.mo_energy[0]),
+                mo_occ=2.0 * np.asarray(res.mo_occ[0]),
+                e_tot=e_tot,
+                converged=bool(res.converged),
+                v_emb=None if v_emb is None else np.asarray(v_emb),
+                huzinaga_op=(
+                    np.asarray(res.huzinaga_op[0]) if dm_env_occ is not None else None
+                ),
+            )
         return SCFSolution(
             engine=self,
             nelec=tuple(int(x) for x in nelec),
@@ -254,14 +270,21 @@ class SCFSolution:
             return h
         return h[None] + np.asarray(self.v_emb)
 
+    @property
+    def restricted(self) -> bool:
+        return np.asarray(self.mo_coeff).ndim == 2
+
     def make_rdm1(self):
+        c = np.asarray(self.mo_coeff)
+        if self.restricted:
+            return np.einsum("pi,i,qi->pq", c, np.asarray(self.mo_occ), c)
         return np.asarray(
             make_rdm1(jnp.asarray(self.mo_coeff), jnp.asarray(self.mo_occ))
         )
 
     def get_fock(self):
         """Fock matrix (incl. v_emb and Huzinaga term) at the current
-        density."""
+        density; (n, n) for restricted solutions, else (2, n, n)."""
         dm = self.make_rdm1()
         veff = self.engine.get_veff(dm)
         h = self.get_hcore()
@@ -269,7 +292,10 @@ class SCFSolution:
             h = h[None]
         f = h + np.asarray(veff.matrix)
         if self.huzinaga_op is not None:
-            f = f + self.huzinaga_op
+            huz = self.huzinaga_op
+            f = f + (huz[None] if huz.ndim == 2 else huz)
+        if self.restricted:
+            return f[0]
         return f
 
     def energy_nuc(self):

@@ -80,6 +80,7 @@ def run_scf(
     dm_conv_tol: float = 1e-6,
     max_cycle: int = 50,
     diis_space: int = 8,
+    use_diis: bool = True,
 ) -> SCFResult:
     """Run SCF to convergence and return an :class:`SCFResult`.
 
@@ -184,8 +185,11 @@ def run_scf(
         hist_f = carry["hist_f"].at[slot].set(f)
         hist_e = carry["hist_e"].at[slot].set(err)
         nfill = jnp.minimum(carry["nfill"] + 1, m)
-        f_diis = diis_extrapolate(hist_f, hist_e, nfill)
-        f_use = jnp.where(carry["cycle"] > 0, f_diis, f)
+        if use_diis:
+            f_diis = diis_extrapolate(hist_f, hist_e, nfill)
+            f_use = jnp.where(carry["cycle"] > 0, f_diis, f)
+        else:
+            f_use = f
         mo_e, c = eig_fock(f_use)
         dm_new = make_rdm1(c, occ)
         de = jnp.abs(e_cur - carry["e"])

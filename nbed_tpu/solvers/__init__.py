@@ -1,0 +1,13 @@
+"""Reference correlated solvers: exact diagonalisation (FCI) and CCSD.
+
+Replaces the reference's PySCF ``fci.FCI`` / ``cc.CCSD`` delegation
+(reference driver.py:1044-1135): FCI is a number-sector exact
+diagonalisation over determinant bitstrings (supports spin-resolved
+embedded one-body integrals, cf. driver.py:1091-1097); CCSD is a
+spin-orbital einsum implementation jitted end-to-end.
+"""
+
+from .ccsd import run_ccsd
+from .fci import run_fci, sector_hamiltonian
+
+__all__ = ["run_fci", "run_ccsd", "sector_hamiltonian"]

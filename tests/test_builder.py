@@ -1,0 +1,73 @@
+"""Hamiltonian builder tests: the diagonalise-and-compare-to-FCI oracle
+(pattern of reference tests/test_builder.py:55-120) plus reduce_virtuals."""
+
+import numpy as np
+import pytest
+
+from nbed_tpu.chem import build_molecule
+from nbed_tpu.ham import (
+    HamiltonianBuilder,
+    bravyi_kitaev,
+    jordan_wigner,
+    pauli_ground_state,
+    reduce_virtuals,
+)
+from nbed_tpu.scf.engine import SCFEngine
+from nbed_tpu.solvers import run_fci
+
+
+def test_restricted_groundstate(water_rhf):
+    const, h1, h2 = HamiltonianBuilder(water_rhf, 0).build()
+    assert h1.shape == (14, 14)  # 14 qubits, reference test_builder.py:65
+    e_fci, _ = run_fci(const, h1, h2, 14, (5, 5))
+    # independently JW-map and diagonalise the qubit Hamiltonian
+    jw = jordan_wigner(const, h1, h2)
+    gs = pauli_ground_state(jw, k=1)
+    assert np.isclose(e_fci[0], gs[0], atol=1e-8)
+    # electronic FCI oracle (reference test_driver.py:76 minus e_nuc)
+    assert np.isclose(
+        e_fci[0] + water_rhf.energy_nuc(), -75.00912605315143, atol=1e-7
+    )
+
+
+def test_unrestricted_groundstate(water_uhf):
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    assert h1.shape == (14, 14)
+    e_fci, _ = run_fci(const, h1, h2, 14, (5, 5))
+    assert np.isclose(
+        e_fci[0] + water_uhf.energy_nuc(), -75.00912605315143, atol=1e-7
+    )
+
+
+def test_charged_groundstate(water_xyz):
+    """Unrestricted, charged open-shell (reference test_builder.py:87-120)."""
+    mol = build_molecule(water_xyz, "sto-3g", charge=1, spin=1)
+    sol = SCFEngine(mol, conv_tol=1e-10, dm_conv_tol=1e-8, max_cycle=100).kernel()
+    const, h1, h2 = HamiltonianBuilder(sol).build()
+    e_fci, _ = run_fci(const, h1, h2, 14, (5, 4))
+    jw = jordan_wigner(const, h1, h2)
+    gs = pauli_ground_state(jw, k=3)
+    # the (5,4) sector ground state appears among the lowest qubit eigenvalues
+    assert np.any(np.isclose(e_fci[0], gs, atol=1e-8))
+
+
+def test_jw_bk_spectra_agree(water_uhf):
+    """JW and BK must be isospectral (validated on a reduced problem)."""
+    reduced = reduce_virtuals(water_uhf, 3)  # 8 qubits: cheap full spectra
+    const, h1, h2 = HamiltonianBuilder(reduced, 0).build()
+    jw = jordan_wigner(const, h1, h2)
+    bk = bravyi_kitaev(const, h1, h2)
+    assert np.allclose(
+        pauli_ground_state(jw, k=4), pauli_ground_state(bk, k=4), atol=1e-8
+    )
+
+
+def test_reduce_virtuals(water_rhf, water_uhf):
+    reduced_r = reduce_virtuals(water_rhf, 1)
+    reduced_u = reduce_virtuals(water_uhf, 1)
+    assert reduced_r.mo_coeff.shape[-1] == reduced_u.mo_coeff.shape[-1] == 6
+    assert np.all(reduced_r.mo_occ == np.sum(reduced_u.mo_occ, axis=0))
+    with pytest.raises(ValueError) as excinfo:
+        reduce_virtuals(water_rhf, 7)
+    assert "more than exist" in str(excinfo)
+    assert np.all(water_rhf.mo_coeff == reduce_virtuals(water_rhf, 0).mo_coeff)

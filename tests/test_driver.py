@@ -1,0 +1,130 @@
+"""Embedding-driver tests against the reference oracles
+(reference tests/test_driver.py). HF-path oracles are exact; B3LYP-dependent
+quantities are grid-limited (tolerances noted inline)."""
+
+import numpy as np
+import pytest
+from pydantic import ValidationError
+
+from nbed_tpu.config import NbedConfig, ProjectorTypes
+from nbed_tpu.driver import NbedDriver
+
+
+def test_global_ks(mu_driver):
+    result = mu_driver._global_ks
+    assert np.isclose(result.e_tot, -75.3091447400438, atol=5e-6)
+    assert np.allclose(
+        result.energy_elec(),
+        (-84.59485896172163, 37.93302591280513),
+        atol=5e-6,
+    )
+
+
+def test_global_hf(mu_driver):
+    result = mu_driver._global_hf
+    assert np.isclose(result.energy_nuc(), 9.285714221677825)
+    assert np.isclose(result.e_tot, -74.96099960129165, atol=1e-6)
+    assert np.allclose(
+        result.energy_elec(),
+        (-84.24671382296947, 38.288174841671974),
+        atol=1e-6,
+    )
+
+
+def test_global_ccsd(mu_driver):
+    e_tot, e_corr = mu_driver._global_ccsd
+    assert np.isclose(e_tot, -75.0090124134578, atol=1e-6)
+    assert np.isclose(e_corr, -0.04801281045273269, atol=1e-6)
+
+
+def test_global_fci(mu_driver):
+    assert np.isclose(mu_driver._global_fci, -75.00912605315143, atol=1e-6)
+
+
+def test_restricted_dft_in_dft(mu_driver, huz_driver):
+    mu_did = mu_driver._dft_in_dft(ProjectorTypes.MU)
+    huz_did = huz_driver._dft_in_dft(ProjectorTypes.HUZ)
+    # DFT-in-DFT must reproduce the global KS energy (exact identity)
+    assert np.isclose(mu_did["e_dft_in_dft"], mu_driver._global_ks.e_tot,
+                      atol=5e-6)
+    assert np.isclose(huz_did["e_dft_in_dft"], huz_driver._global_ks.e_tot,
+                      atol=1e-8)
+    assert np.isclose(mu_did["e_dft_in_dft"], huz_did["e_dft_in_dft"], atol=5e-6)
+
+
+@pytest.mark.parametrize("driver", ["mu_driver", "huz_driver"])
+def test_embedded_ccsd(driver, request):
+    driver = request.getfixturevalue(driver)
+    result = getattr(driver, driver.config.projector.value)
+    # reference tests/test_driver.py:107-108; grid-limited tolerance
+    assert np.isclose(result["e_ccsd"], -75.1285849238916, atol=2e-4)
+
+
+@pytest.mark.parametrize("driver", ["mu_driver", "huz_driver"])
+def test_embedded_fci(driver, request):
+    driver = request.getfixturevalue(driver)
+    result = getattr(driver, driver.config.projector.value)
+    # reference tests/test_driver.py:127
+    assert np.isclose(result["e_fci"], -75.12858550813999, atol=2e-4)
+
+
+def test_projector_results_match(mu_driver, huz_driver):
+    assert mu_driver.mu is not None and mu_driver.huzinaga is None
+    assert huz_driver.huzinaga is not None and huz_driver.mu is None
+    assert mu_driver.mu.keys() == huz_driver.huzinaga.keys()
+
+
+def test_projectors_scf_match(mu_driver, huz_driver):
+    mu_scf = mu_driver.embedded_scf
+    huz_scf = huz_driver.embedded_scf
+    assert mu_scf.converged and huz_scf.converged
+    assert np.asarray(mu_scf.mo_coeff).shape == np.asarray(huz_scf.mo_coeff).shape
+    assert np.asarray(mu_scf.mo_occ).shape == np.asarray(huz_scf.mo_occ).shape
+    assert np.isclose(mu_scf.e_tot, huz_scf.e_tot, atol=1e-5)
+
+
+def test_second_quantised_output(mu_driver):
+    const, h1, h2 = mu_driver.mu["second_quantised"]
+    assert np.isclose(const, mu_driver.mu["classical_energy"])
+    k = h1.shape[0]
+    assert h1.shape == (k, k)
+    assert h2.shape == (k, k, k, k)
+
+
+def test_incorrect_geometry_path():
+    with pytest.raises(ValidationError):
+        NbedConfig(
+            geometry="THIS/IS/NOT/AN/XYZ/FILE",
+            n_active_atoms=1,
+            basis="STO-3G",
+            xc_functional="b3lyp5",
+            projector="mu",
+            localization="spade",
+            convergence=1e-6,
+            run_ccsd_emb=True,
+            run_fci_emb=True,
+        )
+
+
+def test_driver_standard_xyz_string_input(spinless_driver):
+    """Reference tests/test_driver.py:187-197."""
+    assert np.isclose(
+        spinless_driver.classical_energy, -3.5867934952241356, atol=2e-4
+    )
+    assert np.asarray(spinless_driver.embedded_scf.mo_coeff).shape == (2, 7, 6)
+    assert np.all(
+        spinless_driver.embedded_scf.mo_occ
+        == np.array([[1, 1, 1, 1, 0, 0], [1, 1, 1, 1, 0, 0]])
+    )
+
+
+def test_subsystem_dft_partition(spinless_driver):
+    """e_act + e_env + two_e_cross + e_nuc == global KS e_tot (exact
+    identity, reference tests/test_driver.py:200-224)."""
+    total = (
+        spinless_driver.e_act
+        + spinless_driver.e_env
+        + spinless_driver.two_e_cross
+        + spinless_driver._ks_engine.energy_nuc()
+    )
+    assert np.isclose(total, spinless_driver._global_ks.e_tot, atol=1e-10)

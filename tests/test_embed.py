@@ -1,0 +1,60 @@
+"""API façade tests (reference tests/test_embed.py)."""
+
+import json
+
+import pytest
+from pydantic import ValidationError
+
+from nbed_tpu.driver import NbedDriver
+from nbed_tpu.embed import nbed
+
+
+@pytest.fixture(scope="module")
+def fast_args(water_filepath):
+    """Cheap config reused across façade tests."""
+    return {
+        "geometry": str(water_filepath),
+        "n_active_atoms": 2,
+        "basis": "STO-3G",
+        "xc_functional": "b3lyp",
+        "projector": "mu",
+        "localization": "spade",
+        "convergence": 1e-6,
+        "run_ccsd_emb": False,
+        "run_fci_emb": False,
+    }
+
+
+@pytest.fixture(scope="module")
+def config_file(tmp_path_factory, fast_args):
+    path = tmp_path_factory.mktemp("cfg") / "config.json"
+    path.write_text(json.dumps(fast_args))
+    return path
+
+
+def test_args_input(fast_args):
+    assert isinstance(nbed(**fast_args), NbedDriver)
+
+
+def test_file_input(config_file):
+    assert isinstance(nbed(str(config_file)), NbedDriver)
+
+
+def test_config_overwrite(nbed_config):
+    from nbed_tpu.config import overwrite_config_kwargs
+
+    new = overwrite_config_kwargs(nbed_config, n_active_atoms=2)
+    assert new.n_active_atoms == 2
+    assert nbed_config.n_active_atoms == 1
+
+
+def test_none_config_input_missing_geometry(nbed_args):
+    args = dict(nbed_args)
+    args.pop("geometry")
+    with pytest.raises(ValidationError):
+        nbed(config=None, **args)
+
+
+def test_wrong_config_object(fast_args):
+    driver = nbed(config=["a", "list"], **fast_args)
+    assert isinstance(driver, NbedDriver)

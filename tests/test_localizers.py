@@ -1,0 +1,95 @@
+"""Localizer tests (reference tests/test_localizers.py) on water/6-31G."""
+
+import numpy as np
+import pytest
+
+from nbed_tpu.chem import build_molecule
+from nbed_tpu.localizers import (
+    ACELocalizer,
+    ConcentricLocalizer,
+    OccupiedLocalizer,
+    PMLocalizer,
+    SPADELocalizer,
+    check_values,
+)
+from nbed_tpu.scf.engine import SCFEngine
+
+N_ACTIVE = 1
+
+
+@pytest.fixture(scope="module")
+def water631g(water_xyz):
+    return build_molecule(water_xyz, "6-31g")
+
+
+@pytest.fixture(scope="module")
+def global_rks(water631g):
+    return SCFEngine(water631g, xc="b3lyp", restricted=True, conv_tol=1e-9,
+                     max_cycle=100).kernel()
+
+
+@pytest.fixture(scope="module")
+def global_uks(water631g):
+    return SCFEngine(water631g, xc="b3lyp", conv_tol=1e-9, max_cycle=100).kernel()
+
+
+def test_base_localizer_is_abstract(global_rks):
+    with pytest.raises(TypeError):
+        OccupiedLocalizer(global_rks, N_ACTIVE)
+
+
+def test_pm_threshold_validation(global_rks):
+    with pytest.raises(ValueError):
+        PMLocalizer(global_rks, N_ACTIVE, occ_cutoff=1.5)
+    with pytest.raises(ValueError):
+        PMLocalizer(global_rks, N_ACTIVE, occ_cutoff=0.9, virt_cutoff=-0.1)
+
+
+def test_check_values_passes(global_rks, global_uks):
+    for scf in (global_rks, global_uks):
+        loc = SPADELocalizer(scf, N_ACTIVE).localize()
+        check_values(loc, scf)
+
+
+def test_spade_restricted_matches_unrestricted(global_rks, global_uks):
+    """Reference tests/test_localizers.py:~200-214."""
+    restricted = SPADELocalizer(global_rks, N_ACTIVE).localize()
+    unrestricted = SPADELocalizer(global_uks, N_ACTIVE).localize()
+    assert restricted.active_mo_inds.ndim == 1
+    assert np.all(unrestricted.active_mo_inds[0] == unrestricted.active_mo_inds[1])
+    assert np.all(restricted.active_mo_inds == unrestricted.active_mo_inds[0])
+
+
+def test_pm_restricted_matches_unrestricted(global_rks, global_uks):
+    restricted = PMLocalizer(global_rks, N_ACTIVE).localize()
+    unrestricted = PMLocalizer(global_uks, N_ACTIVE).localize()
+    assert np.all(restricted.active_mo_inds == unrestricted.active_mo_inds[0])
+    assert np.all(unrestricted.active_mo_inds[0] == unrestricted.active_mo_inds[1])
+
+
+def test_cl_shell_numbers(global_rks, global_uks):
+    """CL shell sizes [12, 13] (reference tests/test_localizers.py:238)."""
+    SPADELocalizer(global_rks, N_ACTIVE).localize()
+    restricted_virt = ConcentricLocalizer(global_rks.copy(), N_ACTIVE)
+    restricted_virt.localize_virtual()
+
+    SPADELocalizer(global_uks, N_ACTIVE).localize()
+    unrestricted_virt = ConcentricLocalizer(global_uks.copy(), N_ACTIVE)
+    unrestricted_virt.localize_virtual()
+
+    assert restricted_virt.shells == [12, 13]
+    assert (restricted_virt.shells == unrestricted_virt.shells[0]
+            == unrestricted_virt.shells[1])
+
+
+def test_ace_localizer(global_rks, global_uks):
+    """ACE-of-SPADE returns (3, 3) (reference tests/test_localizers.py:271)."""
+    restricted = ACELocalizer([global_rks] * 3, N_ACTIVE).localize_path()
+    unrestricted = ACELocalizer([global_uks] * 3, N_ACTIVE).localize_path()
+    assert restricted == unrestricted == (3, 3)
+
+    spade = SPADELocalizer(global_rks, N_ACTIVE, n_mo_overwrite=restricted)
+    spade.localize()
+    gaps = (spade.enviro_selection_condition[0][:-1]
+            - spade.enviro_selection_condition[0][1:])
+    assert restricted[0] - 1 == np.argmax(gaps)

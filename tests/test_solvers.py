@@ -1,0 +1,49 @@
+"""FCI and CCSD reference solvers vs the reference's PySCF oracles."""
+
+import numpy as np
+
+from nbed_tpu.ham import HamiltonianBuilder
+from nbed_tpu.solvers import run_ccsd, run_fci
+
+
+def _interleaved_occ(sol):
+    occ = np.asarray(sol.mo_occ)
+    if occ.ndim == 1:
+        occ = np.stack([occ / 2.0, occ / 2.0])
+    k = occ.shape[-1]
+    mask = np.zeros(2 * k, dtype=bool)
+    mask[::2] = occ[0] > 0
+    mask[1::2] = occ[1] > 0
+    return mask
+
+
+def test_global_fci_oracle(water_uhf):
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    vals, _ = run_fci(const, h1, h2, 14, (5, 5))
+    # reference tests/test_driver.py:76
+    assert np.isclose(vals[0] + water_uhf.energy_nuc(), -75.00912605315143,
+                      atol=1e-7)
+
+
+def test_global_ccsd_oracle(water_uhf):
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    e_corr, e_ref = run_ccsd(h1, h2, _interleaved_occ(water_uhf), conv_tol=1e-10)
+    # reference tests/test_driver.py:68-69
+    assert np.isclose(e_corr, -0.04801281045273269, atol=1e-7)
+    e_tot = e_ref + water_uhf.energy_nuc() + e_corr
+    assert np.isclose(e_tot, -75.0090124134578, atol=1e-7)
+    # mean-field energy implied by the integrals must equal the SCF energy
+    assert np.isclose(e_ref + water_uhf.energy_nuc(), water_uhf.e_tot, atol=1e-8)
+
+
+def test_ccsd_equals_fci_for_two_electrons():
+    """For 2 electrons CCSD is exact: compare on H2."""
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule("2\n\nH 0.0 0.0 0.0\nH 0.0 0.0 0.7408481486\n", "sto-3g")
+    sol = SCFEngine(mol, conv_tol=1e-12, dm_conv_tol=1e-10).kernel()
+    const, h1, h2 = HamiltonianBuilder(sol, 0).build()
+    vals, _ = run_fci(const, h1, h2, 4, (1, 1))
+    e_corr, e_ref = run_ccsd(h1, h2, _interleaved_occ(sol), conv_tol=1e-12)
+    assert np.isclose(e_ref + e_corr, vals[0], atol=1e-9)
