@@ -1,0 +1,122 @@
+"""ctypes bindings for the C++ McMurchie-Davidson integral engine.
+
+Compiled on first use (g++ -O3) and cached next to the source. Select with
+``SCFEngine(..., integrals_backend="native")`` or env
+``NBED_TPU_INTEGRALS=native``: integral tensors are produced on the host by
+native code (no XLA tracing cost per new molecule) and fed to the device —
+the same division of labour the reference gets from PySCF's libcint core.
+"""
+
+import ctypes
+import logging
+import os
+import subprocess
+from functools import lru_cache
+from pathlib import Path
+
+import numpy as np
+
+logger = logging.getLogger(__name__)
+
+__all__ = ["available", "one_electron", "eri"]
+
+_SRC = Path(__file__).parent / "md_integrals.cpp"
+_LIB = Path(__file__).parent / "libnbed_md.so"
+
+
+@lru_cache(maxsize=1)
+def _load():
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        cmd = ["g++", "-O3", "-shared", "-fPIC", str(_SRC), "-o", str(_LIB)]
+        logger.info("Compiling native integral engine: %s", " ".join(cmd))
+        subprocess.run(cmd, check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_LIB))
+    dptr = ctypes.POINTER(ctypes.c_double)
+    iptr = ctypes.POINTER(ctypes.c_int32)
+    lib.nbed_one_electron.argtypes = [
+        ctypes.c_int, iptr, dptr, dptr, dptr, dptr, ctypes.c_int, dptr,
+        ctypes.c_int, dptr, dptr, dptr, dptr, dptr, dptr,
+    ]
+    lib.nbed_eri.argtypes = [ctypes.c_int, iptr, dptr, dptr, dptr, dptr, dptr]
+    return lib
+
+
+def available() -> bool:
+    try:
+        _load()
+        return True
+    except Exception as exc:  # no g++ / build failure
+        logger.warning("Native integral engine unavailable: %s", exc)
+        return False
+
+
+def _pack(mol):
+    """Flatten shell tables into the C ABI layout."""
+    meta = []
+    exps, coefs, c2s = [], [], []
+    exp_off = 0
+    c2s_off = 0
+    for sh in mol.shells:
+        meta.append([sh.l, len(sh.exps), sh.atom, sh.ao_offset, exp_off, c2s_off])
+        exps.extend(sh.exps)
+        coefs.extend(sh.coeffs)
+        c2s.extend(np.asarray(sh.cart2sph).ravel().tolist())
+        exp_off += len(sh.exps)
+        c2s_off += np.asarray(sh.cart2sph).size
+    return (
+        np.asarray(meta, dtype=np.int32),
+        np.asarray(exps), np.asarray(coefs), np.asarray(c2s),
+    )
+
+
+def _dp(a):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def one_electron(mol, coords=None):
+    """(S, T, V) — V includes the molecule's MM charges when present."""
+    lib = _load()
+    meta, exps, coefs, c2s = _pack(mol)
+    coords = np.ascontiguousarray(
+        mol.coords if coords is None else coords, dtype=np.float64
+    )
+    charges = np.asarray(mol.atom_charges, dtype=np.float64)
+    nao = mol.nao
+    s = np.zeros((nao, nao))
+    t = np.zeros((nao, nao))
+    v = np.zeros((nao, nao))
+    if mol.mm_coords is not None:
+        n_extra = len(mol.mm_charges)
+        centers = np.ascontiguousarray(mol.mm_coords, dtype=np.float64)
+        q = np.asarray(mol.mm_charges, dtype=np.float64)
+        etas = (
+            1.0 / np.asarray(mol.mm_radii, dtype=np.float64) ** 2
+            if mol.mm_radii is not None else None
+        )
+    else:
+        n_extra, centers, q, etas = 0, np.zeros((1, 3)), np.zeros(1), None
+    lib.nbed_one_electron(
+        len(mol.shells), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _dp(exps), _dp(coefs), _dp(c2s), _dp(coords),
+        mol.natm, _dp(charges),
+        n_extra, _dp(centers), _dp(q),
+        _dp(etas) if etas is not None else ctypes.cast(None, ctypes.POINTER(ctypes.c_double)),
+        _dp(s), _dp(t), _dp(v),
+    )
+    return s, t, v
+
+
+def eri(mol, coords=None):
+    """Full (nao, nao, nao, nao) ERI tensor, chemist notation."""
+    lib = _load()
+    meta, exps, coefs, c2s = _pack(mol)
+    coords = np.ascontiguousarray(
+        mol.coords if coords is None else coords, dtype=np.float64
+    )
+    nao = mol.nao
+    out = np.zeros((nao, nao, nao, nao))
+    lib.nbed_eri(
+        len(mol.shells), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _dp(exps), _dp(coefs), _dp(c2s), _dp(coords), _dp(out),
+    )
+    return out

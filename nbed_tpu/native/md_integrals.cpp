@@ -1,0 +1,436 @@
+// McMurchie-Davidson Gaussian integrals (C++ host engine).
+//
+// Native analogue of the libcint layer the reference delegates to via PySCF
+// (SURVEY.md §2.3 rows 2-3). Computes contracted spherical AO integrals
+// (overlap, kinetic, nuclear/point-charge attraction, dipole, full ERI with
+// 8-fold symmetry) from shell tables prepared by the Python layer (which
+// owns normalisation and cart->sph coefficients). Used as the fast host
+// backend: it avoids per-molecule XLA tracing and feeds device arrays.
+//
+// Build: g++ -O3 -shared -fPIC md_integrals.cpp -o libnbed_md.so
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+constexpr int LMAX = 4;           // max angular momentum per shell
+constexpr int EMAX = 2 * LMAX + 3;
+
+inline int ncart(int l) { return (l + 1) * (l + 2) / 2; }
+
+// cartesian component powers, matching chem.molecule.cartesian_components
+inline void cart_powers(int l, int comp, int* p) {
+  int idx = 0;
+  for (int i = 0; i <= l; ++i) {
+    for (int j = 0; j <= i; ++j) {
+      if (idx == comp) { p[0] = l - i; p[1] = i - j; p[2] = j; return; }
+      ++idx;
+    }
+  }
+}
+
+// Boys functions F_0..F_m at t.
+void boys(int mmax, double t, double* f) {
+  if (t < 1e-13) {
+    for (int m = 0; m <= mmax; ++m) f[m] = 1.0 / (2 * m + 1);
+    return;
+  }
+  if (t < 40.0) {
+    // series F_m(t) = e^-t * sum_k (2t)^k / ((2m+1)(2m+3)...(2m+2k+1)),
+    // then exact downward recursion
+    double term = 1.0 / (2.0 * mmax + 1.0);
+    double sum = term;
+    for (int k = 1; k < 500; ++k) {
+      term *= 2.0 * t / (2.0 * mmax + 2.0 * k + 1.0);
+      sum += term;
+      if (term < 1e-17 * sum) break;
+    }
+    double expt = std::exp(-t);
+    f[mmax] = expt * sum;
+    for (int m = mmax; m > 0; --m)
+      f[m - 1] = (2.0 * t * f[m] + expt) / (2.0 * m - 1.0);
+  } else {
+    // asymptotic F_0 + stable upward recursion
+    double expt = std::exp(-t);
+    f[0] = 0.5 * std::sqrt(M_PI / t) * std::erf(std::sqrt(t));
+    for (int m = 0; m < mmax; ++m)
+      f[m + 1] = ((2.0 * m + 1.0) * f[m] - expt) / (2.0 * t);
+  }
+}
+
+// Hermite expansion coefficients E_t^{ij} for one dimension.
+struct ETable {
+  double e[EMAX][EMAX][2 * EMAX];  // [i][j][t]
+  void build(int la, int lb, double a, double b, double ab) {
+    double p = a + b;
+    double mu = a * b / p;
+    double inv2p = 0.5 / p;
+    double pa = -b / p * ab;
+    double pb = a / p * ab;
+    std::memset(e, 0, sizeof(e));
+    e[0][0][0] = std::exp(-mu * ab * ab);
+    for (int i = 0; i <= la; ++i) {
+      for (int j = 0; j <= lb; ++j) {
+        if (i == 0 && j == 0) continue;
+        for (int t = 0; t <= i + j; ++t) {
+          double val = 0.0;
+          if (j == 0) {
+            if (t - 1 >= 0) val += inv2p * e[i - 1][j][t - 1];
+            val += pa * e[i - 1][j][t];
+            if (t + 1 <= i + j) val += (t + 1) * e[i - 1][j][t + 1];
+          } else {
+            if (t - 1 >= 0) val += inv2p * e[i][j - 1][t - 1];
+            val += pb * e[i][j - 1][t];
+            if (t + 1 <= i + j) val += (t + 1) * e[i][j - 1][t + 1];
+          }
+          e[i][j][t] = val;
+        }
+      }
+    }
+  }
+};
+
+// Hermite Coulomb integrals R_{tuv} for t+u+v <= lmax.
+struct RTable {
+  double r[2 * EMAX][2 * EMAX][2 * EMAX];
+  void build(int lmax, double p, const double* pq) {
+    double t_arg = p * (pq[0] * pq[0] + pq[1] * pq[1] + pq[2] * pq[2]);
+    double f[4 * LMAX + 4];
+    boys(lmax, t_arg, f);
+    // r_n[t][u][v] built by downward recursion in n
+    static thread_local double rn[4 * LMAX + 4][2 * EMAX][2 * EMAX][2 * EMAX];
+    for (int n = lmax; n >= 0; --n) {
+      double pref = std::pow(-2.0 * p, n);
+      rn[n][0][0][0] = pref * f[n];
+      int rem = lmax - n;
+      for (int tot = 1; tot <= rem; ++tot) {
+        for (int t = 0; t <= tot; ++t) {
+          for (int u = 0; u <= tot - t; ++u) {
+            int v = tot - t - u;
+            double val;
+            if (t >= 1) {
+              val = pq[0] * rn[n + 1][t - 1][u][v];
+              if (t >= 2) val += (t - 1) * rn[n + 1][t - 2][u][v];
+            } else if (u >= 1) {
+              val = pq[1] * rn[n + 1][t][u - 1][v];
+              if (u >= 2) val += (u - 1) * rn[n + 1][t][u - 2][v];
+            } else {
+              val = pq[2] * rn[n + 1][t][u][v - 1];
+              if (v >= 2) val += (v - 1) * rn[n + 1][t][u][v - 2];
+            }
+            rn[n][t][u][v] = val;
+          }
+        }
+      }
+    }
+    for (int t = 0; t <= lmax; ++t)
+      for (int u = 0; u <= lmax - t; ++u)
+        for (int v = 0; v <= lmax - t - u; ++v) r[t][u][v] = rn[0][t][u][v];
+  }
+};
+
+struct Shell {
+  int l, nprim, atom, ao_offset;
+  const double* exps;
+  const double* coefs;
+  const double* c2s;  // (ncart, nsph) row-major
+};
+
+struct Mol {
+  std::vector<Shell> shells;
+  const double* coords;  // (natm, 3)
+  int nao;
+};
+
+Mol unpack(int n_shells, const int32_t* meta, const double* exps,
+           const double* coefs, const double* c2s, const double* coords) {
+  // meta per shell: l, nprim, atom, ao_offset, exp_offset, c2s_offset
+  Mol mol;
+  mol.coords = coords;
+  mol.nao = 0;
+  for (int s = 0; s < n_shells; ++s) {
+    const int32_t* m = meta + 6 * s;
+    Shell sh;
+    sh.l = m[0]; sh.nprim = m[1]; sh.atom = m[2]; sh.ao_offset = m[3];
+    sh.exps = exps + m[4];
+    sh.coefs = coefs + m[4];
+    sh.c2s = c2s + m[5];
+    mol.shells.push_back(sh);
+    int top = sh.ao_offset + 2 * sh.l + 1;
+    if (top > mol.nao) mol.nao = top;
+  }
+  return mol;
+}
+
+// contracted cartesian blocks -> spherical, scattered into the AO matrix
+void scatter_block(const Mol& mol, const Shell& sa, const Shell& sb,
+                   const double* cart, double* out, bool symmetrize) {
+  int nca = ncart(sa.l), ncb = ncart(sb.l);
+  int nsa = 2 * sa.l + 1, nsb = 2 * sb.l + 1;
+  for (int p = 0; p < nsa; ++p) {
+    for (int q = 0; q < nsb; ++q) {
+      double val = 0.0;
+      for (int ca = 0; ca < nca; ++ca)
+        for (int cb = 0; cb < ncb; ++cb)
+          val += sa.c2s[ca * nsa + p] * sb.c2s[cb * nsb + q] *
+                 cart[ca * ncb + cb];
+      int row = sa.ao_offset + p, col = sb.ao_offset + q;
+      out[row * mol.nao + col] = val;
+      if (symmetrize) out[col * mol.nao + row] = val;
+    }
+  }
+}
+
+}  // namespace
+
+extern "C" {
+
+// One-electron integrals: S, T, V (over nuclei+optional extra charges).
+void nbed_one_electron(int n_shells, const int32_t* meta, const double* exps,
+                       const double* coefs, const double* c2s,
+                       const double* coords, int natm, const double* charges,
+                       int n_extra, const double* extra_centers,
+                       const double* extra_charges, const double* extra_etas,
+                       double* s_out, double* t_out, double* v_out) {
+  Mol mol = unpack(n_shells, meta, exps, coefs, c2s, coords);
+  int nao = mol.nao;
+  std::memset(s_out, 0, sizeof(double) * nao * nao);
+  std::memset(t_out, 0, sizeof(double) * nao * nao);
+  std::memset(v_out, 0, sizeof(double) * nao * nao);
+
+  double cart_s[256], cart_t[256], cart_v[256];
+  int pa[3], pb[3];
+
+  for (size_t ia = 0; ia < mol.shells.size(); ++ia) {
+    for (size_t ib = ia; ib < mol.shells.size(); ++ib) {
+      const Shell& sa = mol.shells[ia];
+      const Shell& sb = mol.shells[ib];
+      const double* ra = mol.coords + 3 * sa.atom;
+      const double* rb = mol.coords + 3 * sb.atom;
+      double ab[3] = {ra[0] - rb[0], ra[1] - rb[1], ra[2] - rb[2]};
+      int nca = ncart(sa.l), ncb = ncart(sb.l);
+      std::memset(cart_s, 0, sizeof(cart_s));
+      std::memset(cart_t, 0, sizeof(cart_t));
+      std::memset(cart_v, 0, sizeof(cart_v));
+
+      for (int i = 0; i < sa.nprim; ++i) {
+        for (int j = 0; j < sb.nprim; ++j) {
+          double a = sa.exps[i], b = sb.exps[j];
+          double cc = sa.coefs[i] * sb.coefs[j];
+          double p = a + b;
+          ETable ex, ey, ez;
+          // extended j for kinetic (j+2)
+          ex.build(sa.l, sb.l + 2, a, b, ab[0]);
+          ey.build(sa.l, sb.l + 2, a, b, ab[1]);
+          ez.build(sa.l, sb.l + 2, a, b, ab[2]);
+          double sq = std::sqrt(M_PI / p);
+          double bp[3] = {(a * ra[0] + b * rb[0]) / p,
+                          (a * ra[1] + b * rb[1]) / p,
+                          (a * ra[2] + b * rb[2]) / p};
+          int lmax = sa.l + sb.l;
+
+          for (int ca = 0; ca < nca; ++ca) {
+            cart_powers(sa.l, ca, pa);
+            for (int cb = 0; cb < ncb; ++cb) {
+              cart_powers(sb.l, cb, pb);
+              const ETable* es[3] = {&ex, &ey, &ez};
+              double s1[3], t1[3];
+              for (int d = 0; d < 3; ++d) {
+                int i_p = pa[d], j_p = pb[d];
+                double sij = es[d]->e[i_p][j_p][0] * sq;
+                double sijp2 = es[d]->e[i_p][j_p + 2][0] * sq;
+                double sijm2 =
+                    (j_p >= 2) ? es[d]->e[i_p][j_p - 2][0] * sq : 0.0;
+                s1[d] = sij;
+                t1[d] = b * (2 * j_p + 1) * sij - 2.0 * b * b * sijp2 -
+                        0.5 * j_p * (j_p - 1) * sijm2;
+              }
+              cart_s[ca * ncb + cb] += cc * s1[0] * s1[1] * s1[2];
+              cart_t[ca * ncb + cb] +=
+                  cc * (t1[0] * s1[1] * s1[2] + s1[0] * t1[1] * s1[2] +
+                        s1[0] * s1[1] * t1[2]);
+
+              // nuclear attraction over all charge centers
+              double vsum = 0.0;
+              RTable rt;
+              for (int c = 0; c < natm + n_extra; ++c) {
+                const double* rc;
+                double z, eta = -1.0;
+                if (c < natm) {
+                  rc = mol.coords + 3 * c;
+                  z = charges[c];
+                } else {
+                  rc = extra_centers + 3 * (c - natm);
+                  z = extra_charges[c - natm];
+                  if (extra_etas) eta = extra_etas[c - natm];
+                }
+                double pc[3] = {bp[0] - rc[0], bp[1] - rc[1], bp[2] - rc[2]};
+                double alpha = p, pref = 2.0 * M_PI / p;
+                if (eta > 0.0) {  // gaussian-smeared charge
+                  alpha = p * eta / (p + eta);
+                  pref *= std::sqrt(eta / (p + eta));
+                }
+                rt.build(lmax, alpha, pc);
+                double acc = 0.0;
+                for (int t = 0; t <= pa[0] + pb[0]; ++t)
+                  for (int u = 0; u <= pa[1] + pb[1]; ++u)
+                    for (int v = 0; v <= pa[2] + pb[2]; ++v)
+                      acc += ex.e[pa[0]][pb[0]][t] * ey.e[pa[1]][pb[1]][u] *
+                             ez.e[pa[2]][pb[2]][v] * rt.r[t][u][v];
+                vsum += -z * pref * acc;
+              }
+              cart_v[ca * ncb + cb] += cc * vsum;
+            }
+          }
+        }
+      }
+      scatter_block(mol, sa, sb, cart_s, s_out, true);
+      scatter_block(mol, sa, sb, cart_t, t_out, true);
+      scatter_block(mol, sa, sb, cart_v, v_out, true);
+    }
+  }
+}
+
+// Full ERI tensor (nao^4), chemist notation, 8-fold symmetry.
+void nbed_eri(int n_shells, const int32_t* meta, const double* exps,
+              const double* coefs, const double* c2s, const double* coords,
+              double* eri_out) {
+  Mol mol = unpack(n_shells, meta, exps, coefs, c2s, coords);
+  const int nao = mol.nao;
+  const size_t n2 = (size_t)nao * nao;
+  const size_t n3 = n2 * nao;
+
+  int pa[3], pb[3], pc[3], pd[3];
+  std::vector<double> cart;
+  std::vector<double> sph;
+
+  size_t n_sh = mol.shells.size();
+  for (size_t ia = 0; ia < n_sh; ++ia)
+  for (size_t ib = 0; ib <= ia; ++ib)
+  for (size_t ic = 0; ic <= ia; ++ic)
+  for (size_t id = 0; id <= (ic == ia ? ib : ic); ++id) {
+    const Shell& A = mol.shells[ia];
+    const Shell& B = mol.shells[ib];
+    const Shell& C = mol.shells[ic];
+    const Shell& D = mol.shells[id];
+    const double* ra = mol.coords + 3 * A.atom;
+    const double* rb = mol.coords + 3 * B.atom;
+    const double* rc = mol.coords + 3 * C.atom;
+    const double* rd = mol.coords + 3 * D.atom;
+    int na = ncart(A.l), nb = ncart(B.l), nc = ncart(C.l), nd = ncart(D.l);
+    int lab = A.l + B.l, lcd = C.l + D.l, lmax = lab + lcd;
+    cart.assign((size_t)na * nb * nc * nd, 0.0);
+
+    double abv[3] = {ra[0] - rb[0], ra[1] - rb[1], ra[2] - rb[2]};
+    double cdv[3] = {rc[0] - rd[0], rc[1] - rd[1], rc[2] - rd[2]};
+
+    for (int i = 0; i < A.nprim; ++i)
+    for (int j = 0; j < B.nprim; ++j) {
+      double a = A.exps[i], b = B.exps[j];
+      double p = a + b;
+      double bp[3] = {(a * ra[0] + b * rb[0]) / p, (a * ra[1] + b * rb[1]) / p,
+                      (a * ra[2] + b * rb[2]) / p};
+      ETable exab, eyab, ezab;
+      exab.build(A.l, B.l, a, b, abv[0]);
+      eyab.build(A.l, B.l, a, b, abv[1]);
+      ezab.build(A.l, B.l, a, b, abv[2]);
+      double cab = A.coefs[i] * B.coefs[j];
+
+      for (int k = 0; k < C.nprim; ++k)
+      for (int m = 0; m < D.nprim; ++m) {
+        double c = C.exps[k], d = D.exps[m];
+        double q = c + d;
+        double bq[3] = {(c * rc[0] + d * rd[0]) / q,
+                        (c * rc[1] + d * rd[1]) / q,
+                        (c * rc[2] + d * rd[2]) / q};
+        ETable excd, eycd, ezcd;
+        excd.build(C.l, D.l, c, d, cdv[0]);
+        eycd.build(C.l, D.l, c, d, cdv[1]);
+        ezcd.build(C.l, D.l, c, d, cdv[2]);
+        double ccd = C.coefs[k] * D.coefs[m];
+        double alpha = p * q / (p + q);
+        double pref = 2.0 * std::pow(M_PI, 2.5) /
+                      (p * q * std::sqrt(p + q)) * cab * ccd;
+        double pq[3] = {bp[0] - bq[0], bp[1] - bq[1], bp[2] - bq[2]};
+        RTable rt;
+        rt.build(lmax, alpha, pq);
+
+        size_t idx = 0;
+        for (int ca = 0; ca < na; ++ca) {
+          cart_powers(A.l, ca, pa);
+          for (int cb = 0; cb < nb; ++cb) {
+            cart_powers(B.l, cb, pb);
+            for (int cc2 = 0; cc2 < nc; ++cc2) {
+              cart_powers(C.l, cc2, pc);
+              for (int cd2 = 0; cd2 < nd; ++cd2, ++idx) {
+                cart_powers(D.l, cd2, pd);
+                double acc = 0.0;
+                for (int t = 0; t <= pa[0] + pb[0]; ++t)
+                for (int u = 0; u <= pa[1] + pb[1]; ++u)
+                for (int v = 0; v <= pa[2] + pb[2]; ++v) {
+                  double eab = exab.e[pa[0]][pb[0]][t] *
+                               eyab.e[pa[1]][pb[1]][u] *
+                               ezab.e[pa[2]][pb[2]][v];
+                  if (eab == 0.0) continue;
+                  double inner = 0.0;
+                  for (int tt = 0; tt <= pc[0] + pd[0]; ++tt)
+                  for (int uu = 0; uu <= pc[1] + pd[1]; ++uu)
+                  for (int vv = 0; vv <= pc[2] + pd[2]; ++vv) {
+                    double ecd = excd.e[pc[0]][pd[0]][tt] *
+                                 eycd.e[pc[1]][pd[1]][uu] *
+                                 ezcd.e[pc[2]][pd[2]][vv];
+                    double sign = ((tt + uu + vv) & 1) ? -1.0 : 1.0;
+                    inner += sign * ecd * rt.r[t + tt][u + uu][v + vv];
+                  }
+                  acc += eab * inner;
+                }
+                cart[idx] += pref * acc;
+              }
+            }
+          }
+        }
+      }
+    }
+
+    // cart -> sph
+    int sa = 2 * A.l + 1, sb = 2 * B.l + 1, sc = 2 * C.l + 1, sd = 2 * D.l + 1;
+    sph.assign((size_t)sa * sb * sc * sd, 0.0);
+    for (int ca = 0; ca < na; ++ca)
+    for (int cb = 0; cb < nb; ++cb)
+    for (int cc2 = 0; cc2 < nc; ++cc2)
+    for (int cd2 = 0; cd2 < nd; ++cd2) {
+      double val = cart[((size_t)(ca * nb + cb) * nc + cc2) * nd + cd2];
+      if (val == 0.0) continue;
+      for (int ps = 0; ps < sa; ++ps)
+      for (int qs = 0; qs < sb; ++qs)
+      for (int rs = 0; rs < sc; ++rs)
+      for (int ss = 0; ss < sd; ++ss)
+        sph[((size_t)(ps * sb + qs) * sc + rs) * sd + ss] +=
+            A.c2s[ca * sa + ps] * B.c2s[cb * sb + qs] *
+            C.c2s[cc2 * sc + rs] * D.c2s[cd2 * sd + ss] * val;
+    }
+
+    // scatter with 8-fold symmetry
+    for (int ps = 0; ps < sa; ++ps)
+    for (int qs = 0; qs < sb; ++qs)
+    for (int rs = 0; rs < sc; ++rs)
+    for (int ss = 0; ss < sd; ++ss) {
+      double val = sph[((size_t)(ps * sb + qs) * sc + rs) * sd + ss];
+      size_t pi = A.ao_offset + ps, qi = B.ao_offset + qs;
+      size_t ri = C.ao_offset + rs, si = D.ao_offset + ss;
+      eri_out[pi * n3 + qi * n2 + ri * nao + si] = val;
+      eri_out[qi * n3 + pi * n2 + ri * nao + si] = val;
+      eri_out[pi * n3 + qi * n2 + si * nao + ri] = val;
+      eri_out[qi * n3 + pi * n2 + si * nao + ri] = val;
+      eri_out[ri * n3 + si * n2 + pi * nao + qi] = val;
+      eri_out[si * n3 + ri * n2 + pi * nao + qi] = val;
+      eri_out[ri * n3 + si * n2 + qi * nao + pi] = val;
+      eri_out[si * n3 + ri * n2 + qi * nao + pi] = val;
+    }
+  }
+}
+
+}  // extern "C"

@@ -71,6 +71,7 @@ class SCFEngine:
     max_cycle: int = 50
     grid_size: tuple = (96, 22)  # (n_radial, n_theta)
     coords: Optional[np.ndarray] = None  # override geometry (bohr)
+    integrals_backend: str = "auto"  # "auto" | "native" | "jax"
 
     def __post_init__(self):
         if self.coords is None:
@@ -78,7 +79,31 @@ class SCFEngine:
 
     # ---------------------------------------------------------- operators
     @cached_property
+    def _use_native(self) -> bool:
+        """Native C++ host engine for static-geometry integral tensors;
+        the JAX path serves vmapped/differentiated workflows."""
+        import os
+
+        backend = os.environ.get("NBED_TPU_INTEGRALS", self.integrals_backend)
+        if backend == "jax":
+            return False
+        from .. import native
+
+        ok = native.available()
+        if backend == "native" and not ok:
+            raise RuntimeError("Native integral engine requested but unavailable.")
+        return ok
+
+    @cached_property
+    def _native_1e(self):
+        from .. import native
+
+        return native.one_electron(self.mol, self.coords)
+
+    @cached_property
     def s(self):
+        if self._use_native:
+            return jnp.asarray(self._native_1e[0])
         return overlap(self.mol, jnp.asarray(self.coords))
 
     @cached_property
@@ -87,6 +112,9 @@ class SCFEngine:
 
     @cached_property
     def hcore(self):
+        if self._use_native:
+            _, t, v = self._native_1e
+            return jnp.asarray(t + v)  # V already includes MM charges
         c = jnp.asarray(self.coords)
         h = kinetic(self.mol, c) + nuclear_attraction(self.mol, c)
         if self.mol.mm_coords is not None:
@@ -101,6 +129,10 @@ class SCFEngine:
 
     @cached_property
     def eri(self):
+        if self._use_native:
+            from .. import native
+
+            return jnp.asarray(native.eri(self.mol, self.coords))
         return eri_tensor(self.mol, jnp.asarray(self.coords))
 
     @cached_property
