@@ -129,6 +129,68 @@ def lyp_c(ra, rb, gaa, gab, gbb):
     return term1 + term2
 
 
+def _pw92_eps(rs, zeta):
+    """Perdew-Wang 1992 LSDA correlation energy per particle."""
+
+    def g(rs, a, a1, b1, b2, b3, b4):
+        srs = jnp.sqrt(rs)
+        den = 2.0 * a * (b1 * srs + b2 * rs + b3 * rs * srs + b4 * rs * rs)
+        return -2.0 * a * (1.0 + a1 * rs) * jnp.log(1.0 + 1.0 / den)
+
+    ec0 = g(rs, 0.031091, 0.21370, 7.5957, 3.5876, 1.6382, 0.49294)
+    ec1 = g(rs, 0.015545, 0.20548, 14.1189, 6.1977, 3.3662, 0.62517)
+    alc = -g(rs, 0.016887, 0.11125, 10.357, 3.6231, 0.88026, 0.49671)
+    fz = ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0) - 2.0) / (
+        2.0 ** (4.0 / 3.0) - 2.0
+    )
+    fpp0 = 8.0 / (9.0 * (2.0 ** (4.0 / 3.0) - 2.0))
+    z4 = zeta**4
+    return ec0 + alc * (fz / fpp0) * (1.0 - z4) + (ec1 - ec0) * fz * z4
+
+
+def pw92_c(ra, rb, gaa, gab, gbb):
+    rho = _safe(ra + rb)
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    return rho * _pw92_eps(rs, zeta)
+
+
+def pbe_x(ra, rb, gaa, gab, gbb):
+    """PBE exchange (kappa=0.804), spin-scaled."""
+    kappa, mu = 0.804, 0.2195149727645171
+
+    def per_spin(r, g):
+        r2 = 2.0 * _safe(r)  # spin scaling: Ex[ra,rb] = (Ex[2ra]+Ex[2rb])/2
+        kf = (3.0 * np.pi**2 * r2) ** (1.0 / 3.0)
+        s2 = 4.0 * jnp.maximum(g, 0.0) / (4.0 * kf * kf * r2 * r2)
+        fx = 1.0 + kappa - kappa / (1.0 + mu * s2 / kappa)
+        lda = -(3.0 / (4.0 * np.pi)) * kf * r2
+        return 0.5 * lda * fx
+
+    return per_spin(ra, gaa) + per_spin(rb, gbb)
+
+
+def pbe_c(ra, rb, gaa, gab, gbb):
+    """PBE correlation (Perdew-Burke-Ernzerhof 1996)."""
+    gamma = (1.0 - np.log(2.0)) / np.pi**2
+    beta = 0.06672455060314922
+    rho = _safe(ra + rb)
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    eps = _pw92_eps(rs, zeta)
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    kf = (3.0 * np.pi**2 * rho) ** (1.0 / 3.0)
+    ks = jnp.sqrt(4.0 * kf / np.pi)
+    gnorm2 = jnp.maximum(gaa + 2.0 * gab + gbb, 0.0)
+    t2 = gnorm2 / (2.0 * phi * ks * rho) ** 2
+    expo = jnp.exp(-eps / (gamma * phi**3))
+    a_coef = (beta / gamma) / jnp.maximum(expo - 1.0, 1e-30)
+    num = 1.0 + a_coef * t2
+    den = 1.0 + a_coef * t2 + (a_coef * t2) ** 2
+    h = gamma * phi**3 * jnp.log(1.0 + (beta / gamma) * t2 * num / den)
+    return rho * (eps + h)
+
+
 # ------------------------------------------------------------------ registry
 
 # name -> (terms [(coef, fn)], hyb fraction of HF exchange)
@@ -147,6 +209,9 @@ FUNCTIONALS = {
         [(0.08, slater_x), (0.72, b88_x), (0.81, lyp_c), (0.19, vwn5_c)],
         0.20,
     ),
+    "pbe": ([(1.0, pbe_x), (1.0, pbe_c)], 0.0),
+    "pbe0": ([(0.75, pbe_x), (1.0, pbe_c)], 0.25),
+    "pw92": ([(1.0, slater_x), (1.0, pw92_c)], 0.0),
 }
 
 

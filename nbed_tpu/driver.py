@@ -306,6 +306,11 @@ class NbedDriver:
         init_huzinaga_rhf_with_mu = (
             init_huzinaga_rhf_with_mu or cfg.init_huzinaga_rhf_with_mu
         )
+        from .profiling import StageTimer
+
+        timer = StageTimer()
+        self.timings = timer.timings
+
         self.e_nuc = self._ks_engine.energy_nuc()
 
         if n_mo_overwrite is not None and n_mo_overwrite != (None, None):
@@ -313,37 +318,49 @@ class NbedDriver:
         else:
             self.n_mo_overwrite = cfg.n_mo_overwrite
 
-        self.localized_system = self._localize()
+        with timer("global_ks"):
+            self._global_ks  # noqa: B018 — materialise the cached SCF
+        with timer("localize"):
+            self.localized_system = self._localize()
         logger.info("Active MO indices: %s", self.localized_system.active_mo_inds)
         logger.info("Environment MO indices: %s", self.localized_system.enviro_mo_inds)
 
-        self.e_act, self.e_env, self.two_e_cross = self._subsystem_dft(
-            self.localized_system
-        )
+        with timer("subsystem_dft"):
+            self.e_act, self.e_env, self.two_e_cross = self._subsystem_dft(
+                self.localized_system
+            )
 
-        total_dm = self.localized_system.dm_active + self.localized_system.dm_enviro
-        g_act_and_env = np.asarray(self._ks_engine.get_veff(total_dm).matrix)
-        g_act = np.asarray(
-            self._ks_engine.get_veff(self.localized_system.dm_active).matrix
-        )
-        self.embedding_potential = g_act_and_env - g_act
+            total_dm = (
+                self.localized_system.dm_active + self.localized_system.dm_enviro
+            )
+            g_act_and_env = np.asarray(self._ks_engine.get_veff(total_dm).matrix)
+            g_act = np.asarray(
+                self._ks_engine.get_veff(self.localized_system.dm_active).matrix
+            )
+            self.embedding_potential = g_act_and_env - g_act
 
         if cfg.projector in (ProjectorTypes.MU, ProjectorTypes.BOTH) or \
                 init_huzinaga_rhf_with_mu:
-            embedded_scf, v_emb = self._mu_embed(
-                self._hf_engine, self.embedding_potential
-            )
-            self.mu = self.post_embed(embedded_scf, v_emb, ProjectorTypes.MU)
+            with timer("mu_embed"):
+                embedded_scf, v_emb = self._mu_embed(
+                    self._hf_engine, self.embedding_potential
+                )
+            with timer("mu_post_embed"):
+                self.mu = self.post_embed(embedded_scf, v_emb, ProjectorTypes.MU)
 
         if cfg.projector in (ProjectorTypes.HUZ, ProjectorTypes.BOTH):
             dm0 = (
                 self.mu["scf"].make_rdm1() if init_huzinaga_rhf_with_mu else None
             )
-            embedded_scf, v_emb = self._huzinaga_embed(
-                self._hf_engine, self.embedding_potential,
-                self.localized_system, dm0,
-            )
-            self.huzinaga = self.post_embed(embedded_scf, v_emb, ProjectorTypes.HUZ)
+            with timer("huzinaga_embed"):
+                embedded_scf, v_emb = self._huzinaga_embed(
+                    self._hf_engine, self.embedding_potential,
+                    self.localized_system, dm0,
+                )
+            with timer("huzinaga_post_embed"):
+                self.huzinaga = self.post_embed(
+                    embedded_scf, v_emb, ProjectorTypes.HUZ
+                )
 
         match cfg.projector:
             case ProjectorTypes.MU:

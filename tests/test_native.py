@@ -1,0 +1,41 @@
+"""Native C++ integral engine vs the independent JAX implementation."""
+
+import numpy as np
+import pytest
+
+from nbed_tpu import native
+from nbed_tpu.integrals import (
+    eri_tensor,
+    kinetic,
+    nuclear_attraction,
+    overlap,
+)
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native engine unavailable")
+
+
+def test_native_matches_jax_water(water_molecule):
+    s, t, v = native.one_electron(water_molecule)
+    assert np.allclose(s, np.asarray(overlap(water_molecule)), atol=1e-13)
+    assert np.allclose(t, np.asarray(kinetic(water_molecule)), atol=1e-12)
+    assert np.allclose(v, np.asarray(nuclear_attraction(water_molecule)), atol=1e-12)
+    eri_native = native.eri(water_molecule)
+    assert np.allclose(eri_native, np.asarray(eri_tensor(water_molecule)),
+                       atol=1e-12)
+
+
+def test_native_qmmm_point_charges(water_molecule):
+    """Point charges enter V identically in both engines."""
+    from dataclasses import replace
+
+    from nbed_tpu.integrals import point_charge_attraction
+
+    centers = np.array([[5.0, 0.0, 0.0], [0.0, 5.0, 0.0]])
+    charges = np.array([0.5, -0.3])
+    mol_mm = replace(water_molecule, mm_coords=centers, mm_charges=charges,
+                     mm_radii=None)
+    _, _, v_mm = native.one_electron(mol_mm)
+    _, _, v_plain = native.one_electron(water_molecule)
+    v_jax = np.asarray(point_charge_attraction(water_molecule, centers, charges))
+    assert np.allclose(v_mm - v_plain, v_jax, atol=1e-12)

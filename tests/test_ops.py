@@ -1,0 +1,22 @@
+"""Pallas kernel tests (interpreter mode on CPU)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from nbed_tpu.ops import fused_jk
+
+
+def test_fused_jk_matches_reference():
+    nao = 12
+    m = nao * nao
+    rng = np.random.default_rng(7)
+    g_j = rng.standard_normal((m, m))
+    g_k = rng.standard_normal((m, m))
+    dm = rng.standard_normal((2, nao, nao))
+    dm = dm + dm.swapaxes(-1, -2)
+    j, k = fused_jk(jnp.asarray(g_j), jnp.asarray(g_k), jnp.asarray(dm),
+                    tile_m=128, tile_c=128, interpret=True)
+    j_ref = (g_j @ (dm[0] + dm[1]).reshape(-1)).reshape(nao, nao)
+    k_ref = (g_k @ dm.reshape(2, -1).T).T.reshape(2, nao, nao)
+    assert np.allclose(np.asarray(j), j_ref, rtol=1e-5, atol=1e-4)
+    assert np.allclose(np.asarray(k), k_ref, rtol=1e-5, atol=1e-4)

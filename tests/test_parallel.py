@@ -1,0 +1,42 @@
+"""Multi-chip sharding tests on the virtual 8-device CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from nbed_tpu.parallel import batched_hf_energies, make_mesh, sharded_scf
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+
+def test_sharded_scf_matches_single_device(water_molecule, water_uhf):
+    mesh = make_mesh(8, batch=1)
+    res = sharded_scf(water_molecule, mesh, conv_tol=1e-10,
+                      dm_conv_tol=1e-8, max_cycle=100)
+    e_tot = float(res.e_elec) + float(water_molecule.energy_nuc())
+    assert np.isclose(e_tot, water_uhf.e_tot, atol=1e-9)
+    assert bool(res.converged)
+
+
+def test_batched_conformers(water_molecule):
+    mesh = make_mesh(8, batch=2)
+    base = np.asarray(water_molecule.coords)
+    coords = np.repeat(base[None], 4, axis=0)
+    coords[:, 2, 2] += np.linspace(0.0, 0.03, 4)
+    energies, conv = batched_hf_energies(water_molecule, coords, mesh=mesh,
+                                         conv_tol=1e-9, max_cycle=60)
+    energies = np.asarray(energies)
+    assert np.all(np.asarray(conv))
+    # unperturbed geometry reproduces the reference HF oracle
+    assert np.isclose(energies[0], -74.96099960129165, atol=1e-6)
+    # stretching one O-H bond monotonically raises the energy here
+    assert np.all(np.diff(energies) > 0)
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(8, batch=2)
+    assert dict(mesh.shape) == {"batch": 2, "model": 4}
+    with pytest.raises(ValueError):
+        make_mesh(8, batch=3)
