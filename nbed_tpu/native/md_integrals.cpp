@@ -62,6 +62,8 @@ void boys(int mmax, double t, double* f) {
 }
 
 // Hermite expansion coefficients E_t^{ij} for one dimension.
+// No memset: every read below stays within the entries the recursion has
+// already written (reads of E_t with t outside [0, i+j] are guarded).
 struct ETable {
   double e[EMAX][EMAX][2 * EMAX];  // [i][j][t]
   void build(int la, int lb, double a, double b, double ab) {
@@ -70,7 +72,6 @@ struct ETable {
     double inv2p = 0.5 / p;
     double pa = -b / p * ab;
     double pb = a / p * ab;
-    std::memset(e, 0, sizeof(e));
     e[0][0][0] = std::exp(-mu * ab * ab);
     for (int i = 0; i <= la; ++i) {
       for (int j = 0; j <= lb; ++j) {
@@ -78,18 +79,22 @@ struct ETable {
         for (int t = 0; t <= i + j; ++t) {
           double val = 0.0;
           if (j == 0) {
-            if (t - 1 >= 0) val += inv2p * e[i - 1][j][t - 1];
-            val += pa * e[i - 1][j][t];
-            if (t + 1 <= i + j) val += (t + 1) * e[i - 1][j][t + 1];
+            if (t >= 1) val += inv2p * e[i - 1][j][t - 1];
+            if (t <= i - 1 + j) val += pa * e[i - 1][j][t];
+            if (t + 1 <= i - 1 + j) val += (t + 1) * e[i - 1][j][t + 1];
           } else {
-            if (t - 1 >= 0) val += inv2p * e[i][j - 1][t - 1];
-            val += pb * e[i][j - 1][t];
-            if (t + 1 <= i + j) val += (t + 1) * e[i][j - 1][t + 1];
+            if (t >= 1) val += inv2p * e[i][j - 1][t - 1];
+            if (t <= i + j - 1) val += pb * e[i][j - 1][t];
+            if (t + 1 <= i + j - 1) val += (t + 1) * e[i][j - 1][t + 1];
           }
           e[i][j][t] = val;
         }
       }
     }
+  }
+  // value with out-of-range t treated as zero (for generic consumers)
+  inline double at(int i, int j, int t) const {
+    return (t < 0 || t > i + j) ? 0.0 : e[i][j][t];
   }
 };
 
@@ -100,11 +105,13 @@ struct RTable {
     double t_arg = p * (pq[0] * pq[0] + pq[1] * pq[1] + pq[2] * pq[2]);
     double f[4 * LMAX + 4];
     boys(lmax, t_arg, f);
+    double powm2p[4 * LMAX + 4];
+    powm2p[0] = 1.0;
+    for (int n = 1; n <= lmax; ++n) powm2p[n] = powm2p[n - 1] * (-2.0 * p);
     // r_n[t][u][v] built by downward recursion in n
     static thread_local double rn[4 * LMAX + 4][2 * EMAX][2 * EMAX][2 * EMAX];
     for (int n = lmax; n >= 0; --n) {
-      double pref = std::pow(-2.0 * p, n);
-      rn[n][0][0][0] = pref * f[n];
+      rn[n][0][0][0] = powm2p[n] * f[n];
       int rem = lmax - n;
       for (int tot = 1; tot <= rem; ++tot) {
         for (int t = 0; t <= tot; ++t) {
@@ -252,37 +259,41 @@ void nbed_one_electron(int n_shells, const int32_t* meta, const double* exps,
               cart_t[ca * ncb + cb] +=
                   cc * (t1[0] * s1[1] * s1[2] + s1[0] * t1[1] * s1[2] +
                         s1[0] * s1[1] * t1[2]);
+            }
+          }
 
-              // nuclear attraction over all charge centers
-              double vsum = 0.0;
-              RTable rt;
-              for (int c = 0; c < natm + n_extra; ++c) {
-                const double* rc;
-                double z, eta = -1.0;
-                if (c < natm) {
-                  rc = mol.coords + 3 * c;
-                  z = charges[c];
-                } else {
-                  rc = extra_centers + 3 * (c - natm);
-                  z = extra_charges[c - natm];
-                  if (extra_etas) eta = extra_etas[c - natm];
-                }
-                double pc[3] = {bp[0] - rc[0], bp[1] - rc[1], bp[2] - rc[2]};
-                double alpha = p, pref = 2.0 * M_PI / p;
-                if (eta > 0.0) {  // gaussian-smeared charge
-                  alpha = p * eta / (p + eta);
-                  pref *= std::sqrt(eta / (p + eta));
-                }
-                rt.build(lmax, alpha, pc);
+          // nuclear attraction: one Hermite-R build per charge center
+          RTable rt;
+          for (int c = 0; c < natm + n_extra; ++c) {
+            const double* rc;
+            double z, eta = -1.0;
+            if (c < natm) {
+              rc = mol.coords + 3 * c;
+              z = charges[c];
+            } else {
+              rc = extra_centers + 3 * (c - natm);
+              z = extra_charges[c - natm];
+              if (extra_etas) eta = extra_etas[c - natm];
+            }
+            double pc[3] = {bp[0] - rc[0], bp[1] - rc[1], bp[2] - rc[2]};
+            double alpha = p, pref = 2.0 * M_PI / p;
+            if (eta > 0.0) {  // gaussian-smeared charge
+              alpha = p * eta / (p + eta);
+              pref *= std::sqrt(eta / (p + eta));
+            }
+            rt.build(lmax, alpha, pc);
+            for (int ca = 0; ca < nca; ++ca) {
+              cart_powers(sa.l, ca, pa);
+              for (int cb = 0; cb < ncb; ++cb) {
+                cart_powers(sb.l, cb, pb);
                 double acc = 0.0;
                 for (int t = 0; t <= pa[0] + pb[0]; ++t)
                   for (int u = 0; u <= pa[1] + pb[1]; ++u)
                     for (int v = 0; v <= pa[2] + pb[2]; ++v)
                       acc += ex.e[pa[0]][pb[0]][t] * ey.e[pa[1]][pb[1]][u] *
                              ez.e[pa[2]][pb[2]][v] * rt.r[t][u][v];
-                vsum += -z * pref * acc;
+                cart_v[ca * ncb + cb] += -z * pref * cc * acc;
               }
-              cart_v[ca * ncb + cb] += cc * vsum;
             }
           }
         }
@@ -294,7 +305,115 @@ void nbed_one_electron(int n_shells, const int32_t* meta, const double* exps,
   }
 }
 
-// Full ERI tensor (nao^4), chemist notation, 8-fold symmetry.
+namespace {
+
+// Contracted cartesian ERI block (na*nb*nc*nd) for one shell quartet.
+void eri_quartet_cart(const Mol& mol, const Shell& A, const Shell& B,
+                      const Shell& C, const Shell& D,
+                      std::vector<double>& cart) {
+  int pa[3], pb[3], pc[3], pd[3];
+  const double* ra = mol.coords + 3 * A.atom;
+  const double* rb = mol.coords + 3 * B.atom;
+  const double* rc = mol.coords + 3 * C.atom;
+  const double* rd = mol.coords + 3 * D.atom;
+  int na = ncart(A.l), nb = ncart(B.l), nc = ncart(C.l), nd = ncart(D.l);
+  int lmax = A.l + B.l + C.l + D.l;
+  cart.assign((size_t)na * nb * nc * nd, 0.0);
+
+  double abv[3] = {ra[0] - rb[0], ra[1] - rb[1], ra[2] - rb[2]};
+  double cdv[3] = {rc[0] - rd[0], rc[1] - rd[1], rc[2] - rd[2]};
+  static const double two_pi_25 = 2.0 * std::pow(M_PI, 2.5);
+
+  // hoist the ket-pair Hermite tables out of the bra-primitive loops
+  struct KetPrim {
+    double q, ccd, bq[3];
+    ETable ex, ey, ez;
+  };
+  static thread_local std::vector<KetPrim> kets;
+  kets.resize((size_t)C.nprim * D.nprim);
+  {
+    size_t ki = 0;
+    for (int k = 0; k < C.nprim; ++k)
+      for (int m = 0; m < D.nprim; ++m, ++ki) {
+        double c = C.exps[k], d = D.exps[m];
+        KetPrim& kp = kets[ki];
+        kp.q = c + d;
+        kp.ccd = C.coefs[k] * D.coefs[m];
+        for (int x = 0; x < 3; ++x)
+          kp.bq[x] = (c * rc[x] + d * rd[x]) / kp.q;
+        kp.ex.build(C.l, D.l, c, d, cdv[0]);
+        kp.ey.build(C.l, D.l, c, d, cdv[1]);
+        kp.ez.build(C.l, D.l, c, d, cdv[2]);
+      }
+  }
+
+  for (int i = 0; i < A.nprim; ++i)
+  for (int j = 0; j < B.nprim; ++j) {
+    double a = A.exps[i], b = B.exps[j];
+    double p = a + b;
+    double bp[3] = {(a * ra[0] + b * rb[0]) / p, (a * ra[1] + b * rb[1]) / p,
+                    (a * ra[2] + b * rb[2]) / p};
+    ETable exab, eyab, ezab;
+    exab.build(A.l, B.l, a, b, abv[0]);
+    eyab.build(A.l, B.l, a, b, abv[1]);
+    ezab.build(A.l, B.l, a, b, abv[2]);
+    double cab = A.coefs[i] * B.coefs[j];
+
+    for (size_t ki = 0; ki < kets.size(); ++ki) {
+      const KetPrim& kp = kets[ki];
+      const ETable& excd = kp.ex;
+      const ETable& eycd = kp.ey;
+      const ETable& ezcd = kp.ez;
+      double q = kp.q;
+      double ccd = kp.ccd;
+      double alpha = p * q / (p + q);
+      double pref = two_pi_25 / (p * q * std::sqrt(p + q)) * cab * ccd;
+      double pq[3] = {bp[0] - kp.bq[0], bp[1] - kp.bq[1], bp[2] - kp.bq[2]};
+      RTable rt;
+      rt.build(lmax, alpha, pq);
+
+      size_t idx = 0;
+      for (int ca = 0; ca < na; ++ca) {
+        cart_powers(A.l, ca, pa);
+        for (int cb = 0; cb < nb; ++cb) {
+          cart_powers(B.l, cb, pb);
+          for (int cc2 = 0; cc2 < nc; ++cc2) {
+            cart_powers(C.l, cc2, pc);
+            for (int cd2 = 0; cd2 < nd; ++cd2, ++idx) {
+              cart_powers(D.l, cd2, pd);
+              double acc = 0.0;
+              for (int t = 0; t <= pa[0] + pb[0]; ++t)
+              for (int u = 0; u <= pa[1] + pb[1]; ++u)
+              for (int v = 0; v <= pa[2] + pb[2]; ++v) {
+                double eab = exab.e[pa[0]][pb[0]][t] *
+                             eyab.e[pa[1]][pb[1]][u] *
+                             ezab.e[pa[2]][pb[2]][v];
+                if (eab == 0.0) continue;
+                double inner = 0.0;
+                for (int tt = 0; tt <= pc[0] + pd[0]; ++tt)
+                for (int uu = 0; uu <= pc[1] + pd[1]; ++uu)
+                for (int vv = 0; vv <= pc[2] + pd[2]; ++vv) {
+                  double ecd = excd.e[pc[0]][pd[0]][tt] *
+                               eycd.e[pc[1]][pd[1]][uu] *
+                               ezcd.e[pc[2]][pd[2]][vv];
+                  double sign = ((tt + uu + vv) & 1) ? -1.0 : 1.0;
+                  inner += sign * ecd * rt.r[t + tt][u + uu][v + vv];
+                }
+                acc += eab * inner;
+              }
+              cart[idx] += pref * acc;
+            }
+          }
+        }
+      }
+    }
+  }
+}
+
+}  // namespace
+
+// Full ERI tensor (nao^4), chemist notation, 8-fold symmetry, with
+// Cauchy-Schwarz screening |(ab|cd)| <= sqrt((ab|ab)) sqrt((cd|cd)).
 void nbed_eri(int n_shells, const int32_t* meta, const double* exps,
               const double* coefs, const double* c2s, const double* coords,
               double* eri_out) {
@@ -302,98 +421,43 @@ void nbed_eri(int n_shells, const int32_t* meta, const double* exps,
   const int nao = mol.nao;
   const size_t n2 = (size_t)nao * nao;
   const size_t n3 = n2 * nao;
+  const double screen_tol = 1e-14;
 
   int pa[3], pb[3], pc[3], pd[3];
   std::vector<double> cart;
   std::vector<double> sph;
 
   size_t n_sh = mol.shells.size();
+
+  // Schwarz factors q_ab = sqrt(max |(ab|ab)|) per shell pair
+  std::vector<double> schwarz(n_sh * n_sh, 0.0);
+  for (size_t ia = 0; ia < n_sh; ++ia)
+    for (size_t ib = 0; ib <= ia; ++ib) {
+      const Shell& A = mol.shells[ia];
+      const Shell& B = mol.shells[ib];
+      eri_quartet_cart(mol, A, B, A, B, cart);
+      int na = ncart(A.l), nb = ncart(B.l);
+      double mx = 0.0;
+      for (int ca = 0; ca < na; ++ca)
+        for (int cb = 0; cb < nb; ++cb) {
+          double v = cart[((size_t)(ca * nb + cb) * na + ca) * nb + cb];
+          if (std::fabs(v) > mx) mx = std::fabs(v);
+        }
+      schwarz[ia * n_sh + ib] = schwarz[ib * n_sh + ia] = std::sqrt(mx);
+    }
+
   for (size_t ia = 0; ia < n_sh; ++ia)
   for (size_t ib = 0; ib <= ia; ++ib)
   for (size_t ic = 0; ic <= ia; ++ic)
   for (size_t id = 0; id <= (ic == ia ? ib : ic); ++id) {
+    if (schwarz[ia * n_sh + ib] * schwarz[ic * n_sh + id] < screen_tol)
+      continue;
     const Shell& A = mol.shells[ia];
     const Shell& B = mol.shells[ib];
     const Shell& C = mol.shells[ic];
     const Shell& D = mol.shells[id];
-    const double* ra = mol.coords + 3 * A.atom;
-    const double* rb = mol.coords + 3 * B.atom;
-    const double* rc = mol.coords + 3 * C.atom;
-    const double* rd = mol.coords + 3 * D.atom;
     int na = ncart(A.l), nb = ncart(B.l), nc = ncart(C.l), nd = ncart(D.l);
-    int lab = A.l + B.l, lcd = C.l + D.l, lmax = lab + lcd;
-    cart.assign((size_t)na * nb * nc * nd, 0.0);
-
-    double abv[3] = {ra[0] - rb[0], ra[1] - rb[1], ra[2] - rb[2]};
-    double cdv[3] = {rc[0] - rd[0], rc[1] - rd[1], rc[2] - rd[2]};
-
-    for (int i = 0; i < A.nprim; ++i)
-    for (int j = 0; j < B.nprim; ++j) {
-      double a = A.exps[i], b = B.exps[j];
-      double p = a + b;
-      double bp[3] = {(a * ra[0] + b * rb[0]) / p, (a * ra[1] + b * rb[1]) / p,
-                      (a * ra[2] + b * rb[2]) / p};
-      ETable exab, eyab, ezab;
-      exab.build(A.l, B.l, a, b, abv[0]);
-      eyab.build(A.l, B.l, a, b, abv[1]);
-      ezab.build(A.l, B.l, a, b, abv[2]);
-      double cab = A.coefs[i] * B.coefs[j];
-
-      for (int k = 0; k < C.nprim; ++k)
-      for (int m = 0; m < D.nprim; ++m) {
-        double c = C.exps[k], d = D.exps[m];
-        double q = c + d;
-        double bq[3] = {(c * rc[0] + d * rd[0]) / q,
-                        (c * rc[1] + d * rd[1]) / q,
-                        (c * rc[2] + d * rd[2]) / q};
-        ETable excd, eycd, ezcd;
-        excd.build(C.l, D.l, c, d, cdv[0]);
-        eycd.build(C.l, D.l, c, d, cdv[1]);
-        ezcd.build(C.l, D.l, c, d, cdv[2]);
-        double ccd = C.coefs[k] * D.coefs[m];
-        double alpha = p * q / (p + q);
-        double pref = 2.0 * std::pow(M_PI, 2.5) /
-                      (p * q * std::sqrt(p + q)) * cab * ccd;
-        double pq[3] = {bp[0] - bq[0], bp[1] - bq[1], bp[2] - bq[2]};
-        RTable rt;
-        rt.build(lmax, alpha, pq);
-
-        size_t idx = 0;
-        for (int ca = 0; ca < na; ++ca) {
-          cart_powers(A.l, ca, pa);
-          for (int cb = 0; cb < nb; ++cb) {
-            cart_powers(B.l, cb, pb);
-            for (int cc2 = 0; cc2 < nc; ++cc2) {
-              cart_powers(C.l, cc2, pc);
-              for (int cd2 = 0; cd2 < nd; ++cd2, ++idx) {
-                cart_powers(D.l, cd2, pd);
-                double acc = 0.0;
-                for (int t = 0; t <= pa[0] + pb[0]; ++t)
-                for (int u = 0; u <= pa[1] + pb[1]; ++u)
-                for (int v = 0; v <= pa[2] + pb[2]; ++v) {
-                  double eab = exab.e[pa[0]][pb[0]][t] *
-                               eyab.e[pa[1]][pb[1]][u] *
-                               ezab.e[pa[2]][pb[2]][v];
-                  if (eab == 0.0) continue;
-                  double inner = 0.0;
-                  for (int tt = 0; tt <= pc[0] + pd[0]; ++tt)
-                  for (int uu = 0; uu <= pc[1] + pd[1]; ++uu)
-                  for (int vv = 0; vv <= pc[2] + pd[2]; ++vv) {
-                    double ecd = excd.e[pc[0]][pd[0]][tt] *
-                                 eycd.e[pc[1]][pd[1]][uu] *
-                                 ezcd.e[pc[2]][pd[2]][vv];
-                    double sign = ((tt + uu + vv) & 1) ? -1.0 : 1.0;
-                    inner += sign * ecd * rt.r[t + tt][u + uu][v + vv];
-                  }
-                  acc += eab * inner;
-                }
-                cart[idx] += pref * acc;
-              }
-            }
-          }
-        }
-      }
-    }
+    eri_quartet_cart(mol, A, B, C, D, cart);
 
     // cart -> sph
     int sa = 2 * A.l + 1, sb = 2 * B.l + 1, sc = 2 * C.l + 1, sd = 2 * D.l + 1;
