@@ -55,15 +55,42 @@ def _eri_prim(la, lb, lc, ld):
     return f
 
 
+def _bucket(k: int) -> int:
+    """Pad contraction lengths into a small set of buckets: bounds the
+    number of static quartet classes to trace/compile (a d-basis molecule
+    otherwise generates O(100) classes, each a separate XLA program) while
+    keeping the common lengths exact (no padded work for K in 1..4, 6, 9)."""
+    for b in (1, 2, 3, 4, 6, 9, 16, 32):
+        if k <= b:
+            return b
+    raise ValueError(f"contraction length {k} too large")
+
+
+def _padded(arr_list, bucket, fill):
+    """Pad list of 1-D arrays to `bucket` length with `fill`."""
+    out = np.full((len(arr_list), bucket), fill, dtype=np.float64)
+    for i, a in enumerate(arr_list):
+        out[i, : len(a)] = a
+    return out
+
+
 class _QuartetTable:
-    """Static arrays for one (l, K) class of canonical shell quartets."""
+    """Static arrays for one (l, K-bucket) class of canonical quartets.
+
+    Contractions are zero-padded to the bucket length (padded primitives
+    carry coefficient 0 and a benign exponent 1), so padding changes cost
+    but not results."""
 
     def __init__(self, key, quartets, shells):
-        (self.la, self.lb, self.lc, self.ld), _ = key
+        (self.la, self.lb, self.lc, self.ld), kb = key
         sh = [[shells[i] for i in q] for q in quartets]
         self.atoms = np.array([[s.atom for s in q] for q in sh])  # (M, 4)
-        self.exps = [np.array([q[k].exps for q in sh]) for k in range(4)]
-        self.coefs = [np.array([q[k].coeffs for q in sh]) for k in range(4)]
+        self.exps = [
+            _padded([q[k].exps for q in sh], kb[k], 1.0) for k in range(4)
+        ]
+        self.coefs = [
+            _padded([q[k].coeffs for q in sh], kb[k], 0.0) for k in range(4)
+        ]
         self.c2s = [np.array([q[k].cart2sph for q in sh]) for k in range(4)]
         ns = [2 * l + 1 for l in (self.la, self.lb, self.lc, self.ld)]
         offs = [np.array([q[k].ao_offset for q in sh]) for k in range(4)]
@@ -104,7 +131,7 @@ def _quartet_tables(mol: Molecule):
     groups = {}
     for q in _canonical_quartets(len(shells)):
         ls = tuple(shells[i].l for i in q)
-        ks = tuple(len(shells[i].exps) for i in q)
+        ks = tuple(_bucket(len(shells[i].exps)) for i in q)
         groups.setdefault((ls, ks), []).append(q)
     return [
         _QuartetTable(key, quartets, shells)

@@ -19,7 +19,13 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..chem.molecule import Molecule
-from ..integrals import eri_tensor, kinetic, nuclear_attraction, overlap
+from ..integrals import (
+    eri_tensor,
+    kinetic,
+    nuclear_attraction,
+    overlap,
+    point_charge_attraction,
+)
 from ..scf.hf import run_scf
 
 __all__ = ["make_mesh", "sharded_scf", "batched_hf_energies", "pad_to_multiple"]
@@ -95,6 +101,10 @@ def batched_hf_energies(mol: Molecule, coords_batch, mesh: Mesh | None = None,
     def one(coords):
         s = overlap(mol, coords)
         hcore = kinetic(mol, coords) + nuclear_attraction(mol, coords)
+        if mol.mm_coords is not None:  # QM/MM point/smeared charges
+            hcore = hcore + point_charge_attraction(
+                mol, mol.mm_coords, mol.mm_charges, mol.mm_radii, coords=coords
+            )
         eri = eri_tensor(mol, coords)
         res = run_scf(
             hcore=hcore, s=s,

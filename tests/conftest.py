@@ -7,6 +7,13 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Keep the CPU test cache separate from TPU/remote-compile artifacts (the
+# axon harness routes compiles through a helper on a host with different CPU
+# features; mixing caches triggers feature-mismatch AOT loads). For fully
+# local compiles run pytest with PYTHONPATH= to skip the axon sitecustomize.
+os.environ.setdefault(
+    "NBED_TPU_JAX_CACHE", os.path.expanduser("~/.cache/nbed_tpu_jax_cpu")
+)
 
 from pathlib import Path  # noqa: E402
 
