@@ -28,7 +28,6 @@ from .config import (
     VirtualLocalizerTypes,
 )
 from .chem import build_molecule
-from .exceptions import NbedDriverError
 from .ham.builder import HamiltonianBuilder
 from .localizers import (
     BOYSLocalizer,

@@ -125,27 +125,95 @@ def _ladder_factory(mapping: str, n: int):
     return jw if mapping == "jw" else bk
 
 
+def _parity64(arr):
+    """Bit parity of each element of an int64 array."""
+    arr = arr.copy()
+    for shift in (32, 16, 8, 4, 2, 1):
+        arr ^= arr >> shift
+    return (arr & 1).astype(np.int64)
+
+
 def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> PauliSum:
+    """Vectorised mapping: all nonzero h1/h2 entries processed per string
+    combination with int64 bitmask arithmetic (<= 63 qubits; the generic
+    python-int path covers larger registers)."""
     h1 = np.asarray(h1)
     h2 = np.asarray(h2)
     n = h1.shape[0]
     ladder = _ladder_factory(mapping, n)
-    # cache single-operator strings
     dag = [ladder(p, True) for p in range(n)]
     ann = [ladder(p, False) for p in range(n)]
 
     out = PauliSum(n)
     out.add(complex(constant), 0, 0)
 
+    if n > 63:
+        return _map_python(out, h1, h2, dag, ann, tol)
+
+    # per-mode string tables: [combo][mode] -> coeff/x/z
+    def tables(ops):
+        cs = np.array([[t[k][0] for t in ops] for k in (0, 1)], dtype=complex)
+        xs = np.array([[t[k][1] for t in ops] for k in (0, 1)], dtype=np.int64)
+        zs = np.array([[t[k][2] for t in ops] for k in (0, 1)], dtype=np.int64)
+        return cs, xs, zs
+
+    dc, dx, dz = tables(dag)
+    ac, ax, az = tables(ann)
+
+    all_x, all_z, all_c = [], [], []
+
+    def accumulate(coeffs, modes, flavors):
+        """Sum_terms coeff * prod_f op_f(mode_f); vectorised over terms."""
+        t_count = len(coeffs)
+        if t_count == 0:
+            return
+        n_f = len(modes)
+        for combo in range(2 ** n_f):
+            cc = np.asarray(coeffs, dtype=complex).copy()
+            x_acc = np.zeros(t_count, dtype=np.int64)
+            z_acc = np.zeros(t_count, dtype=np.int64)
+            for f in range(n_f):
+                k = (combo >> f) & 1
+                tc, tx, tz = (dc, dx, dz) if flavors[f] else (ac, ax, az)
+                m = modes[f]
+                sign = 1.0 - 2.0 * _parity64(z_acc & tx[k][m])
+                cc = cc * tc[k][m] * sign
+                x_acc ^= tx[k][m]
+                z_acc ^= tz[k][m]
+            all_x.append(x_acc)
+            all_z.append(z_acc)
+            all_c.append(cc)
+
+    p1, q1 = np.nonzero(np.abs(h1) > tol)
+    accumulate(h1[p1, q1], (p1, q1), (True, False))
+    idx = np.nonzero(np.abs(h2) > tol)
+    accumulate(h2[idx], idx, (True, True, False, False))
+
+    if all_x:
+        x_cat = np.concatenate(all_x)
+        z_cat = np.concatenate(all_z)
+        c_cat = np.concatenate(all_c)
+        order = np.lexsort((z_cat, x_cat))
+        xs_s, zs_s, cs_s = x_cat[order], z_cat[order], c_cat[order]
+        boundary = np.ones(len(xs_s), dtype=bool)
+        boundary[1:] = (xs_s[1:] != xs_s[:-1]) | (zs_s[1:] != zs_s[:-1])
+        starts = np.nonzero(boundary)[0]
+        sums = np.add.reduceat(cs_s, starts)
+        keep = np.abs(sums) > tol
+        for x, z, c in zip(xs_s[starts][keep], zs_s[starts][keep], sums[keep]):
+            out.add(complex(c), int(x), int(z))
+    return out.compress(tol)
+
+
+def _map_python(out, h1, h2, dag, ann, tol):
+    """Generic python-int path for > 63 qubits."""
     for p, q in zip(*np.nonzero(np.abs(h1) > tol)):
         c = complex(h1[p, q])
         for t1 in dag[p]:
             for t2 in ann[q]:
                 cc, x, z = _mul(t1, t2)
                 out.add(c * cc, x, z)
-
-    idx = np.nonzero(np.abs(h2) > tol)
-    for p, q, r, s in zip(*idx):
+    for p, q, r, s in zip(*np.nonzero(np.abs(h2) > tol)):
         c = complex(h2[p, q, r, s])
         for t1 in dag[p]:
             for t2 in dag[q]:

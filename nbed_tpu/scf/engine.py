@@ -11,7 +11,7 @@ driver manipulates (environment deletion, virtual localization).
 """
 
 import logging
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from functools import cached_property
 from typing import NamedTuple, Optional
 
