@@ -503,29 +503,44 @@ def _delete_spin_environment(projector, n_env_mo, mo_coeff, mo_energy, mo_occ,
     return mo_coeff[:, active], mo_energy[active], mo_occ[active]
 
 
+def _spin_expand_frozen(frozen):
+    """Spatial MO indices -> interleaved spin-orbital indices."""
+    out = []
+    for i in frozen:
+        out.extend([2 * int(i), 2 * int(i) + 1])
+    return out
+
+
 def run_emb_ccsd(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
     """Embedded CCSD on the (possibly truncated) embedded SCF solution.
 
     Returns (e_tot, e_corr); the spin-resolved embedded core Hamiltonian is
     handled natively by the spin-orbital solver (cf. reference
-    driver.py:1105-1135).
+    driver.py:1105-1135). ``frozen`` takes spatial MO indices; frozen
+    occupied orbitals are folded in exactly (frozen core), frozen virtuals
+    are dropped (reference cc.CCSD(frozen=...), driver.py:1127).
     """
-    if frozen is not None:
-        raise NotImplementedError("Frozen-orbital embedded CCSD not implemented.")
     hb = HamiltonianBuilder(scf_sol, 0.0)
     _, h1, h2 = hb.build()
     occ_mask = NbedDriver._interleaved_occ(scf_sol)
+    e_shift = 0.0
+    if frozen:
+        from .solvers.frozen import freeze_spinorbitals
+
+        e_shift, h1, h2, occ_mask = freeze_spinorbitals(
+            0.0, h1, h2, _spin_expand_frozen(frozen), occ_mask
+        )
     e_corr, e_ref_elec = run_ccsd(h1, h2, occ_mask, conv_tol=convergence * 1e-2)
-    e_tot = e_ref_elec + scf_sol.energy_nuc() + e_corr
+    e_tot = e_shift + e_ref_elec + scf_sol.energy_nuc() + e_corr
     logger.info("Embedded CCSD correlation energy: %s", e_corr)
     return e_tot, e_corr
 
 
 def run_emb_fci(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
     """Embedded FCI (exact diagonalisation) total energy
-    (reference driver.py:1044-1102)."""
-    if frozen is not None:
-        raise NotImplementedError("Frozen-orbital embedded FCI not implemented.")
+    (reference driver.py:1044-1102; the reference's ``frozen`` path routes
+    through CASSCF sort_mo — here frozen orbitals are folded into the
+    integrals exactly)."""
     hb = HamiltonianBuilder(scf_sol, 0.0)
     _, h1, h2 = hb.build()
     occ = np.asarray(scf_sol.mo_occ)
@@ -533,8 +548,17 @@ def run_emb_fci(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
         nelec = (int(np.sum(occ[0] > 0)), int(np.sum(occ[1] > 0)))
     else:
         nelec = (int(np.sum(occ > 0)), int(np.sum(occ > 0)))
+    e_shift = 0.0
+    if frozen:
+        from .solvers.frozen import freeze_spinorbitals
+
+        occ_mask = NbedDriver._interleaved_occ(scf_sol)
+        e_shift, h1, h2, occ_red = freeze_spinorbitals(
+            0.0, h1, h2, _spin_expand_frozen(frozen), occ_mask
+        )
+        nelec = (int(np.sum(occ_red[::2])), int(np.sum(occ_red[1::2])))
     vals, _ = run_fci(0.0, h1, h2, h1.shape[0], nelec)
-    e_tot = float(vals[0]) + scf_sol.energy_nuc()
+    e_tot = float(vals[0]) + e_shift + scf_sol.energy_nuc()
     logger.info("FCI embedding energy: %s", e_tot)
     return e_tot
 
