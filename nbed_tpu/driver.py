@@ -351,6 +351,17 @@ class NbedDriver:
             dm0 = (
                 self.mu["scf"].make_rdm1() if init_huzinaga_rhf_with_mu else None
             )
+            if cfg.virtual_localization == VirtualLocalizerTypes.PROJECTED_AO:
+                # PAO virtuals feed the Huzinaga virtual-space projector
+                # (reference driver.py:878-888; unreachable behind the same
+                # top-of-embed guard the reference has, driver.py:819-820)
+                pao = PAOLocalizer(
+                    self._global_hf, cfg.n_active_atoms,
+                    self.localized_system.c_loc_occ,
+                    norm_cutoff=cfg.norm_cutoff,
+                    overlap_cutoff=cfg.overlap_cutoff,
+                )
+                self.localized_system.c_loc_virt = pao.localize_virtual()
             with timer("huzinaga_embed"):
                 embedded_scf, v_emb = self._huzinaga_embed(
                     self._hf_engine, self.embedding_potential,

@@ -9,7 +9,6 @@ the same division of labour the reference gets from PySCF's libcint core.
 
 import ctypes
 import logging
-import os
 import subprocess
 from functools import lru_cache
 from pathlib import Path

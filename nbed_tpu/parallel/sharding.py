@@ -11,7 +11,7 @@ big operands, let XLA insert the collectives.
   inside a step).
 """
 
-from functools import partial
+
 
 import jax
 import jax.numpy as jnp
@@ -71,8 +71,6 @@ def sharded_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None, **scf_kwargs
     eri_k = jax.device_put(eri_k, row_sharded)
     hcore = jax.device_put(kinetic(mol, c) + nuclear_attraction(mol, c), replicated)
     s = jax.device_put(overlap(mol, c), replicated)
-
-    pad = eri_j.shape[0] - n * n
 
     def padded_run(hcore, s, eri_j, eri_k):
         # row-padded supermatrices: slice the padded rows off after the GEMM

@@ -6,8 +6,11 @@ import pytest
 from nbed_tpu.chem import build_molecule
 from nbed_tpu.localizers import (
     ACELocalizer,
+    BOYSLocalizer,
     ConcentricLocalizer,
+    IBOLocalizer,
     OccupiedLocalizer,
+    PAOLocalizer,
     PMLocalizer,
     SPADELocalizer,
     check_values,
@@ -80,6 +83,24 @@ def test_cl_shell_numbers(global_rks, global_uks):
     assert restricted_virt.shells == [12, 13]
     assert (restricted_virt.shells == unrestricted_virt.shells[0]
             == unrestricted_virt.shells[1])
+
+
+def test_pao_localizer(global_rks):
+    """PAOs span the virtual space: orthogonal to the localized occupieds."""
+    loc = SPADELocalizer(global_rks, N_ACTIVE).localize()
+    pao = PAOLocalizer(global_rks, N_ACTIVE, loc.c_loc_occ)
+    virts = pao.localize_virtual()
+    assert virts.shape[-1] > 0
+    s = np.asarray(global_rks.engine.s)
+    overlap_occ = np.abs(loc.c_loc_occ.T @ s @ virts).max()
+    assert overlap_occ < 1e-10
+
+
+def test_boys_and_ibo_localize(global_rks):
+    """Boys/IBO runs produce valid partitions (sense checks pass)."""
+    for cls in (BOYSLocalizer, IBOLocalizer):
+        loc = cls(global_rks, N_ACTIVE).localize()
+        check_values(loc, global_rks)
 
 
 def test_ace_localizer(global_rks, global_uks):
