@@ -32,8 +32,13 @@ def make_xc_fn(ao, ao_grad, weights, xc_name: str):
     if not terms:
         return None
 
+    import jax.numpy as _jnp
+
+    # density floor: rho^(-11/3) terms (LYP) overflow f32 below ~1e-6
+    thresh = 1e-11 if ao.dtype == _jnp.float64 else 3e-6
+
     def e_density(ra, rb, gaa, gab, gbb):
-        mask = (ra + rb) > 1e-11
+        mask = (ra + rb) > thresh
         safe = lambda x: jnp.where(mask, x, 1.0)  # noqa: E731
         out = 0.0
         for coef, fn in terms:
@@ -54,6 +59,12 @@ def make_xc_fn(ao, ao_grad, weights, xc_name: str):
         gbb = jnp.einsum("dg,dg->g", grho[1], grho[1])
         gab = jnp.einsum("dg,dg->g", grho[0], grho[1])
         exc, (vra, vrb, vgaa, vgab, vgbb) = grad_e(rho[0], rho[1], gaa, gab, gbb)
+        # keep the expensive grid GEMMs in the working precision (numpy
+        # float64 constants inside functionals otherwise promote under x64)
+        dt = ao.dtype
+        exc = exc.astype(dt)
+        vra, vrb = vra.astype(dt), vrb.astype(dt)
+        vgaa, vgab, vgbb = vgaa.astype(dt), vgab.astype(dt), vgbb.astype(dt)
         # gradients already include the quadrature weights (E = sum w*e)
         def vmat(vr, vg_ss, vg_ab, grho_s, grho_t):
             m = jnp.einsum("g,gp,gq->pq", vr, ao, ao)

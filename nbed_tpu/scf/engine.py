@@ -72,6 +72,7 @@ class SCFEngine:
     grid_size: tuple = (96, 22)  # (n_radial, n_theta)
     coords: Optional[np.ndarray] = None  # override geometry (bohr)
     integrals_backend: str = "auto"  # "auto" | "native" | "jax"
+    warmup_f32: bool = False  # f32 pre-SCF seeding the f64 solve (TPU perf)
 
     def __post_init__(self):
         if self.coords is None:
@@ -167,6 +168,33 @@ class SCFEngine:
     def xc_fn(self):
         return self._xc[0]
 
+    @cached_property
+    def _f32_ops(self):
+        """f32 casts of the SCF operators for the mixed-precision warm-up.
+
+        On TPU, f64 is software-emulated; most Fock builds can run in f32
+        (HBM-rate GEMMs) with the final iterations refined in f64.
+        """
+        f32 = jnp.float32
+        ops = {
+            "hcore": self.hcore.astype(f32),
+            "s": self.s.astype(f32),
+            "eri_j": self.eri_j.astype(f32),
+            "eri_k": self.eri_k.astype(f32),
+        }
+        xc_fn, hyb = self._xc
+        if xc_fn is None:
+            ops["xc_fn"] = None
+        else:
+            points, weights = build_grid(self.mol, jnp.asarray(self.coords),
+                                         n_rad=self.grid_size[0],
+                                         n_theta=self.grid_size[1])
+            ao, ao_grad = eval_aos(self.mol, points, jnp.asarray(self.coords))
+            ops["xc_fn"] = make_xc_fn(ao.astype(f32), ao_grad.astype(f32),
+                                      weights.astype(f32), self.xc)
+        ops["hyb"] = hyb
+        return ops
+
     # ------------------------------------------------------------ methods
     def energy_nuc(self):
         return float(self.mol.energy_nuc(jnp.asarray(self.coords)))
@@ -210,6 +238,23 @@ class SCFEngine:
         """Run SCF; all embedding terms are explicit arguments."""
         nelec = self.mol.nelec if nelec is None else nelec
         xc_fn, hyb = self._xc
+        if self.warmup_f32 and dm0 is None:
+            f32 = jnp.float32
+            ops = self._f32_ops
+            warm = run_scf(
+                hcore=ops["hcore"], s=ops["s"],
+                eri_j=ops["eri_j"], eri_k=ops["eri_k"],
+                nelec=nelec,
+                v_emb=None if v_emb is None else jnp.asarray(v_emb, f32),
+                xc_fn=ops["xc_fn"], hyb=ops["hyb"],
+                dm_env_occ=(None if dm_env_occ is None
+                            else _spinify(dm_env_occ).astype(f32)),
+                dm_env_virt=(None if dm_env_virt is None
+                             else _spinify(dm_env_virt).astype(f32)),
+                conv_tol=1e-4, dm_conv_tol=1e-3,
+                max_cycle=self.max_cycle if max_cycle is None else max_cycle,
+            )
+            dm0 = warm.dm.astype(jnp.float64)
         res = run_scf(
             hcore=self.hcore,
             s=self.s,

@@ -93,9 +93,10 @@ def run_scf(
     if hcore.ndim == 2:
         hcore = jnp.stack([hcore, hcore])
     if v_emb is None:
-        v_emb = jnp.zeros((2, n, n))
+        v_emb = jnp.zeros((2, n, n), hcore.dtype)
     elif v_emb.ndim == 2:
         v_emb = jnp.stack([v_emb, v_emb])
+    v_emb = v_emb.astype(hcore.dtype)
     x = lowdin_x(s)
     h_eff = hcore + v_emb
 
@@ -201,12 +202,13 @@ def run_scf(
             "c": c, "mo_e": mo_e,
         }
 
+    dt = h_eff.dtype  # f64 default; f32 for the mixed-precision warm-up
     carry0 = {
-        "cycle": jnp.array(0), "dm": dm0, "e": jnp.array(jnp.inf),
+        "cycle": jnp.array(0), "dm": dm0.astype(dt), "e": jnp.array(jnp.inf, dt),
         "conv": jnp.array(False),
-        "hist_f": jnp.zeros((m, 2, n, n)), "hist_e": jnp.zeros((m, 2, n, n)),
+        "hist_f": jnp.zeros((m, 2, n, n), dt), "hist_e": jnp.zeros((m, 2, n, n), dt),
         "nfill": jnp.array(0),
-        "c": jnp.zeros((2, n, n)), "mo_e": jnp.zeros((2, n)),
+        "c": jnp.zeros((2, n, n), dt), "mo_e": jnp.zeros((2, n), dt),
     }
     out = jax.lax.while_loop(cond, step, carry0)
 

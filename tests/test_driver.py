@@ -91,6 +91,23 @@ def test_second_quantised_output(mu_driver):
     assert h2.shape == (k, k, k, k)
 
 
+def test_huzinaga_seeded_with_mu(nbed_config):
+    """init_huzinaga_rhf_with_mu runs the mu branch first and seeds the
+    Huzinaga SCF from its density (reference driver.py:871-893)."""
+    cfg = nbed_config.model_copy(update={})
+    cfg.projector = ProjectorTypes.HUZ
+    cfg.init_huzinaga_rhf_with_mu = True
+    cfg.run_ccsd_emb = False
+    cfg.run_fci_emb = False
+    driver = NbedDriver(cfg)
+    driver.embed()
+    assert driver.mu is not None  # mu branch ran to provide the seed
+    assert driver.huzinaga is not None
+    assert np.isclose(
+        driver.mu["scf"].e_tot, driver.huzinaga["scf"].e_tot, atol=1e-5
+    )
+
+
 def test_incorrect_geometry_path():
     with pytest.raises(ValidationError):
         NbedConfig(

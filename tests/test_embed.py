@@ -58,3 +58,15 @@ def test_none_config_input_missing_geometry(nbed_args):
 def test_wrong_config_object(fast_args):
     driver = nbed(config=["a", "list"], **fast_args)
     assert isinstance(driver, NbedDriver)
+
+
+def test_reference_config_file_parses():
+    """The reference's JSON config schema is drop-in (same field names)."""
+    from pathlib import Path
+
+    from nbed_tpu.config import parse_config
+
+    cfg = parse_config(str(Path(__file__).parent / "test_config.json"))
+    assert cfg.n_active_atoms == 1
+    assert cfg.basis == "STO-3G"
+    assert cfg.run_dft_in_dft is True

@@ -33,6 +33,20 @@ def test_uks_b3lyp_oracle(water_uks):
     assert np.isclose(e2, 37.93302591280513, atol=5e-6)
 
 
+def test_f32_warmup_matches_plain(water_molecule, water_uhf, water_uks):
+    """Mixed-precision warm-up (f32 pre-SCF seeding the f64 solve) lands on
+    the same fixed points; on TPU this moves most Fock builds to f32
+    (~10x cheaper than emulated f64)."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    warm_hf = SCFEngine(water_molecule, conv_tol=1e-10, dm_conv_tol=1e-8,
+                        max_cycle=100, warmup_f32=True).kernel()
+    assert np.isclose(warm_hf.e_tot, water_uhf.e_tot, atol=1e-10)
+    warm_ks = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9,
+                        max_cycle=100, warmup_f32=True).kernel()
+    assert np.isclose(warm_ks.e_tot, water_uks.e_tot, atol=1e-7)
+
+
 def test_restricted_dm_is_total(water_rhf):
     dm = water_rhf.make_rdm1()
     assert dm.ndim == 2
