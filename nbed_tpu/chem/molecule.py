@@ -42,34 +42,60 @@ def _solid_harmonic_table(l: int) -> np.ndarray:
     """Real solid harmonics in terms of unnormalised cartesian monomials.
 
     Returns ``(ncart, nsph)`` with sph columns ordered m = -l..l
-    (s; p: x,y,z mapped to m=-1,0,1 as y,z,x per the standard real
-    convention; d: xy, yz, z2, xz, x2-y2). Column scale is arbitrary — each
-    AO column is renormalised numerically in :func:`_normalise_shell`.
+    (s; p: m=-1,0,1 -> y,z,x; d: xy, yz, z2, xz, x2-y2; generic fit above).
+    Column scale is arbitrary — each AO column is renormalised numerically
+    in :func:`_normalise_shell`. l <= 2 uses exact literals; higher l fits
+    the (exactly representable) real spherical harmonics on a sphere grid.
     """
     cart = cartesian_components(l)
     idx = {c: i for i, c in enumerate(cart)}
+    if l <= 2:
+        if l == 0:
+            cols = [{(0, 0, 0): 1.0}]
+        elif l == 1:
+            # m = -1, 0, +1  ->  y, z, x
+            cols = [{(0, 1, 0): 1.0}, {(0, 0, 1): 1.0}, {(1, 0, 0): 1.0}]
+        else:
+            s3 = np.sqrt(3.0)
+            cols = [
+                {(1, 1, 0): s3},                                     # xy
+                {(0, 1, 1): s3},                                     # yz
+                {(0, 0, 2): 1.0, (2, 0, 0): -0.5, (0, 2, 0): -0.5},  # 3z^2-r^2
+                {(1, 0, 1): s3},                                     # xz
+                {(2, 0, 0): s3 / 2, (0, 2, 0): -s3 / 2},
+            ]
+        out = np.zeros((len(cart), len(cols)))
+        for m, col in enumerate(cols):
+            for powers, coeff in col.items():
+                out[idx[powers], m] = coeff
+        return out
+
+    # generic l: least-squares fit of real spherical harmonics (which lie
+    # exactly in the span of degree-l monomials on the unit sphere)
+    from scipy.special import sph_harm_y
+
+    rng = np.random.default_rng(17)
+    pts = rng.standard_normal((max(64, 4 * len(cart) ** 2), 3))
+    pts /= np.linalg.norm(pts, axis=1, keepdims=True)
+    theta = np.arccos(np.clip(pts[:, 2], -1, 1))
+    phi = np.arctan2(pts[:, 1], pts[:, 0])
+    mono = np.stack([
+        pts[:, 0] ** i * pts[:, 1] ** j * pts[:, 2] ** k
+        for (i, j, k) in cart
+    ], axis=1)
     cols = []
-    if l == 0:
-        cols = [{(0, 0, 0): 1.0}]
-    elif l == 1:
-        # m = -1, 0, +1  ->  y, z, x
-        cols = [{(0, 1, 0): 1.0}, {(0, 0, 1): 1.0}, {(1, 0, 0): 1.0}]
-    elif l == 2:
-        s3 = np.sqrt(3.0)
-        cols = [
-            {(1, 1, 0): s3},                                     # xy
-            {(0, 1, 1): s3},                                     # yz
-            {(0, 0, 2): 1.0, (2, 0, 0): -0.5, (0, 2, 0): -0.5},  # 3z^2 - r^2
-            {(1, 0, 1): s3},                                     # xz
-            {(2, 0, 0): np.sqrt(3.0) / 2, (0, 2, 0): -np.sqrt(3.0) / 2},
-        ]
-    else:
-        raise NotImplementedError(f"l={l} not supported (max l=2 in this build).")
-    out = np.zeros((len(cart), len(cols)))
-    for m, col in enumerate(cols):
-        for powers, coeff in col.items():
-            out[idx[powers], m] = coeff
-    return out
+    for m in range(-l, l + 1):
+        y = sph_harm_y(l, abs(m), theta, phi)
+        if m < 0:
+            target = np.sqrt(2.0) * (-1.0) ** m * np.imag(y)
+        elif m == 0:
+            target = np.real(y)
+        else:
+            target = np.sqrt(2.0) * (-1.0) ** m * np.real(y)
+        coef, *_ = np.linalg.lstsq(mono, target, rcond=None)
+        coef[np.abs(coef) < 1e-12] = 0.0
+        cols.append(coef)
+    return np.stack(cols, axis=1)
 
 
 def _same_center_cart_overlap(powers_a, powers_b, g: float) -> float:

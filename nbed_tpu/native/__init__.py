@@ -17,7 +17,7 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["available", "one_electron", "eri"]
+__all__ = ["available", "one_electron", "eri", "eri_3c", "eri_2c"]
 
 _SRC = Path(__file__).parent / "md_integrals.cpp"
 _LIB = Path(__file__).parent / "libnbed_md.so"
@@ -37,6 +37,13 @@ def _load():
         ctypes.c_int, dptr, dptr, dptr, dptr, dptr, dptr,
     ]
     lib.nbed_eri.argtypes = [ctypes.c_int, iptr, dptr, dptr, dptr, dptr, dptr]
+    lib.nbed_eri_3c.argtypes = [
+        ctypes.c_int, iptr, dptr, dptr, dptr, dptr,
+        ctypes.c_int, iptr, dptr, dptr, dptr, dptr,
+    ]
+    lib.nbed_eri_2c.argtypes = [
+        ctypes.c_int, iptr, dptr, dptr, dptr, dptr, dptr,
+    ]
     return lib
 
 
@@ -103,6 +110,39 @@ def one_electron(mol, coords=None):
         _dp(s), _dp(t), _dp(v),
     )
     return s, t, v
+
+
+def eri_3c(mol, aux, coords=None):
+    """Three-centre DF integrals (ab|P): (nao, nao, naux)."""
+    lib = _load()
+    meta, exps, coefs, c2s = _pack(mol)
+    ameta, aexps, acoefs, ac2s = _pack(aux)
+    coords = np.ascontiguousarray(
+        mol.coords if coords is None else coords, dtype=np.float64
+    )
+    out = np.zeros((mol.nao, mol.nao, aux.nao))
+    lib.nbed_eri_3c(
+        len(mol.shells), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _dp(exps), _dp(coefs), _dp(c2s), _dp(coords),
+        len(aux.shells), ameta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _dp(aexps), _dp(acoefs), _dp(ac2s), _dp(out),
+    )
+    return out
+
+
+def eri_2c(aux, coords=None):
+    """Two-centre Coulomb metric (P|Q): (naux, naux)."""
+    lib = _load()
+    ameta, aexps, acoefs, ac2s = _pack(aux)
+    coords = np.ascontiguousarray(
+        aux.coords if coords is None else coords, dtype=np.float64
+    )
+    out = np.zeros((aux.nao, aux.nao))
+    lib.nbed_eri_2c(
+        len(aux.shells), ameta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _dp(aexps), _dp(acoefs), _dp(ac2s), _dp(coords), _dp(out),
+    )
+    return out
 
 
 def eri(mol, coords=None):

@@ -497,4 +497,107 @@ void nbed_eri(int n_shells, const int32_t* meta, const double* exps,
   }
 }
 
+// Three-centre integrals (ab|P) for density fitting: the ket pair is
+// (aux shell, dummy zero-exponent s-function), for which the 4-centre
+// McMurchie-Davidson expression reduces exactly to the 3-centre one.
+void nbed_eri_3c(int n_shells, const int32_t* meta, const double* exps,
+                 const double* coefs, const double* c2s, const double* coords,
+                 int n_aux_shells, const int32_t* aux_meta,
+                 const double* aux_exps, const double* aux_coefs,
+                 const double* aux_c2s, double* out /* (nao, nao, naux) */) {
+  Mol mol = unpack(n_shells, meta, exps, coefs, c2s, coords);
+  Mol aux = unpack(n_aux_shells, aux_meta, aux_exps, aux_coefs, aux_c2s,
+                   coords);
+  const int nao = mol.nao;
+  const int naux = aux.nao;
+  const double dummy_exp = 0.0;
+  const double dummy_coef = 1.0;
+  const double dummy_c2s = 1.0;
+  std::vector<double> cart;
+  std::vector<double> sph;
+
+  for (size_t ia = 0; ia < mol.shells.size(); ++ia)
+  for (size_t ib = 0; ib <= ia; ++ib)
+  for (size_t ip = 0; ip < aux.shells.size(); ++ip) {
+    const Shell& A = mol.shells[ia];
+    const Shell& B = mol.shells[ib];
+    const Shell& P = aux.shells[ip];
+    Shell dummy;
+    dummy.l = 0; dummy.nprim = 1; dummy.atom = P.atom; dummy.ao_offset = 0;
+    dummy.exps = &dummy_exp; dummy.coefs = &dummy_coef; dummy.c2s = &dummy_c2s;
+    int na = ncart(A.l), nb = ncart(B.l), np = ncart(P.l);
+    eri_quartet_cart(mol, A, B, P, dummy, cart);
+
+    int sa = 2 * A.l + 1, sb = 2 * B.l + 1, sp = 2 * P.l + 1;
+    sph.assign((size_t)sa * sb * sp, 0.0);
+    for (int ca = 0; ca < na; ++ca)
+    for (int cb = 0; cb < nb; ++cb)
+    for (int cp = 0; cp < np; ++cp) {
+      double val = cart[((size_t)(ca * nb + cb) * np + cp)];
+      if (val == 0.0) continue;
+      for (int ps = 0; ps < sa; ++ps)
+      for (int qs = 0; qs < sb; ++qs)
+      for (int rs = 0; rs < sp; ++rs)
+        sph[((size_t)(ps * sb + qs) * sp + rs)] +=
+            A.c2s[ca * sa + ps] * B.c2s[cb * sb + qs] *
+            P.c2s[cp * sp + rs] * val;
+    }
+    for (int ps = 0; ps < sa; ++ps)
+    for (int qs = 0; qs < sb; ++qs)
+    for (int rs = 0; rs < sp; ++rs) {
+      double val = sph[((size_t)(ps * sb + qs) * sp + rs)];
+      size_t pi = A.ao_offset + ps, qi = B.ao_offset + qs;
+      size_t ri = P.ao_offset + rs;
+      out[(pi * nao + qi) * naux + ri] = val;
+      out[(qi * nao + pi) * naux + ri] = val;
+    }
+  }
+}
+
+// Two-centre Coulomb metric (P|Q) for density fitting.
+void nbed_eri_2c(int n_aux_shells, const int32_t* aux_meta,
+                 const double* aux_exps, const double* aux_coefs,
+                 const double* aux_c2s, const double* coords,
+                 double* out /* (naux, naux) */) {
+  Mol aux = unpack(n_aux_shells, aux_meta, aux_exps, aux_coefs, aux_c2s,
+                   coords);
+  const int naux = aux.nao;
+  const double dummy_exp = 0.0;
+  const double dummy_coef = 1.0;
+  const double dummy_c2s = 1.0;
+  std::vector<double> cart;
+  std::vector<double> sph;
+
+  for (size_t ip = 0; ip < aux.shells.size(); ++ip)
+  for (size_t iq = 0; iq <= ip; ++iq) {
+    const Shell& P = aux.shells[ip];
+    const Shell& Q = aux.shells[iq];
+    Shell dp, dq;
+    dp.l = 0; dp.nprim = 1; dp.atom = P.atom; dp.ao_offset = 0;
+    dp.exps = &dummy_exp; dp.coefs = &dummy_coef; dp.c2s = &dummy_c2s;
+    dq = dp; dq.atom = Q.atom;
+    int npc = ncart(P.l), nqc = ncart(Q.l);
+    eri_quartet_cart(aux, P, dp, Q, dq, cart);
+
+    int sp = 2 * P.l + 1, sq = 2 * Q.l + 1;
+    sph.assign((size_t)sp * sq, 0.0);
+    for (int cp = 0; cp < npc; ++cp)
+    for (int cq = 0; cq < nqc; ++cq) {
+      double val = cart[(size_t)cp * nqc + cq];
+      if (val == 0.0) continue;
+      for (int ps = 0; ps < sp; ++ps)
+      for (int qs = 0; qs < sq; ++qs)
+        sph[(size_t)ps * sq + qs] +=
+            P.c2s[cp * sp + ps] * Q.c2s[cq * sq + qs] * val;
+    }
+    for (int ps = 0; ps < sp; ++ps)
+    for (int qs = 0; qs < sq; ++qs) {
+      double val = sph[(size_t)ps * sq + qs];
+      size_t pi = P.ao_offset + ps, qi = Q.ao_offset + qs;
+      out[pi * naux + qi] = val;
+      out[qi * naux + pi] = val;
+    }
+  }
+}
+
 }  // extern "C"

@@ -73,6 +73,8 @@ class SCFEngine:
     coords: Optional[np.ndarray] = None  # override geometry (bohr)
     integrals_backend: str = "auto"  # "auto" | "native" | "jax"
     warmup_f32: bool = False  # f32 pre-SCF seeding the f64 solve (TPU perf)
+    density_fitting: bool = False  # DF J/K: O(nao^2 naux) memory, GEMM builds
+    df_beta: float = 2.0  # even-tempered auxiliary-basis ratio
 
     def __post_init__(self):
         if self.coords is None:
@@ -195,13 +197,52 @@ class SCFEngine:
         ops["hyb"] = hyb
         return ops
 
+    @cached_property
+    def _df_b(self):
+        """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP.
+
+        Built from native 3-centre/2-centre integrals over an automatic
+        even-tempered auxiliary basis; the metric inverse square root is
+        eigenvalue-clipped for robustness.
+        """
+        from .. import native
+        from ..chem.basis.auxiliary import make_auxiliary_molecule
+
+        aux = make_auxiliary_molecule(self.mol, beta=self.df_beta)
+        b3 = native.eri_3c(self.mol, aux, self.coords)
+        m2 = native.eri_2c(aux, self.coords)
+        w, v = np.linalg.eigh(m2)
+        w = np.maximum(w, 1e-10)
+        m_isqrt = (v / np.sqrt(w)[None, :]) @ v.T
+        return jnp.asarray(np.einsum("abP,PQ->abQ", b3, m_isqrt, optimize=True))
+
+    def _df_jk(self, dm):
+        """DF J/K: Coulomb via the fitted density, exchange via an
+        eigen-decomposed density (works for any PSD density, not just
+        aufbau ones)."""
+        b = self._df_b
+        d_tot = dm[0] + dm[1]
+        rho = jnp.einsum("abP,ab->P", b, d_tot)
+        j = jnp.einsum("abP,P->ab", b, rho)
+
+        def k_spin(d):
+            w, u = jnp.linalg.eigh(d)
+            c_eff = u * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+            t = jnp.einsum("ikP,ko->ioP", b, c_eff)
+            return jnp.einsum("ioP,joP->ij", t, t)
+
+        k = jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
+        return j, k
+
     # ------------------------------------------------------------ methods
     def energy_nuc(self):
         return float(self.mol.energy_nuc(jnp.asarray(self.coords)))
 
     def get_jk(self, dm):
-        n = self.mol.nao
         dm = _spinify(dm)
+        if self.density_fitting:
+            return self._df_jk(dm)
+        n = self.mol.nao
         j = (self.eri_j @ (dm[0] + dm[1]).reshape(-1)).reshape(n, n)
         k = (self.eri_k @ dm.reshape(2, n * n).T).T.reshape(2, n, n)
         return j, k
@@ -238,6 +279,8 @@ class SCFEngine:
         """Run SCF; all embedding terms are explicit arguments."""
         nelec = self.mol.nelec if nelec is None else nelec
         xc_fn, hyb = self._xc
+        if self.density_fitting:
+            self._df_b  # noqa: B018 — materialise outside any jax trace
         if self.warmup_f32 and dm0 is None:
             f32 = jnp.float32
             ops = self._f32_ops
@@ -258,8 +301,9 @@ class SCFEngine:
         res = run_scf(
             hcore=self.hcore,
             s=self.s,
-            eri_j=self.eri_j,
-            eri_k=self.eri_k,
+            eri_j=None if self.density_fitting else self.eri_j,
+            eri_k=None if self.density_fitting else self.eri_k,
+            jk_fn=self._df_jk if self.density_fitting else None,
             nelec=nelec,
             v_emb=None if v_emb is None else jnp.asarray(v_emb),
             xc_fn=xc_fn,

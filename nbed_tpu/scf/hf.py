@@ -67,8 +67,9 @@ def run_scf(
     *,
     hcore,  # (n, n) or (2, n, n)
     s,  # (n, n)
-    eri_j,  # (n*n, n*n) supermatrix for J: (ij|kl)
-    eri_k,  # (n*n, n*n) supermatrix for K: (ik|jl)
+    eri_j=None,  # (n*n, n*n) supermatrix for J: (ij|kl)
+    eri_k=None,  # (n*n, n*n) supermatrix for K: (ik|jl)
+    jk_fn: Optional[Callable] = None,  # dm (2,n,n) -> (j (n,n), k (2,n,n))
     nelec,  # (n_alpha, n_beta) — static
     v_emb=None,  # (2, n, n) embedding potential added to hcore
     xc_fn: Optional[Callable] = None,  # dm -> (exc, vxc (2,n,n))
@@ -114,11 +115,14 @@ def run_scf(
         (jnp.arange(n) < nb).astype(s.dtype),
     ])
 
-    def get_jk(dm):
-        d_tot = (dm[0] + dm[1]).reshape(-1)
-        j = (eri_j @ d_tot).reshape(n, n)
-        k = (eri_k @ dm.reshape(2, n * n).T).T.reshape(2, n, n)
-        return j, k
+    if jk_fn is not None:
+        get_jk = jk_fn
+    else:
+        def get_jk(dm):
+            d_tot = (dm[0] + dm[1]).reshape(-1)
+            j = (eri_j @ d_tot).reshape(n, n)
+            k = (eri_k @ dm.reshape(2, n * n).T).T.reshape(2, n, n)
+            return j, k
 
     def fock_and_energy(dm):
         """One J/K (+XC) build -> (F incl. huz, huz, e_elec of dm)."""

@@ -1,0 +1,40 @@
+"""Density-fitting tests: auto-auxiliary quality and DF-SCF accuracy."""
+
+import numpy as np
+import pytest
+
+from nbed_tpu import native
+from nbed_tpu.chem.basis.auxiliary import make_auxiliary_molecule
+from nbed_tpu.scf.engine import SCFEngine
+
+pytestmark = pytest.mark.skipif(not native.available(),
+                                reason="native engine unavailable")
+
+
+def test_df_factor_reconstructs_eri(water_molecule):
+    aux = make_auxiliary_molecule(water_molecule)
+    b3 = native.eri_3c(water_molecule, aux)
+    m2 = native.eri_2c(aux)
+    assert np.allclose(m2, m2.T, atol=1e-12)
+    w, v = np.linalg.eigh(m2)
+    assert w.min() > -1e-10  # Coulomb metric is PSD
+    w = np.maximum(w, 1e-10)
+    bt = np.einsum("abP,PQ->abQ", b3, (v / np.sqrt(w)) @ v.T, optimize=True)
+    eri_df = np.einsum("abP,cdP->abcd", bt, bt, optimize=True)
+    err = np.abs(native.eri(water_molecule) - eri_df)
+    assert err.max() < 2e-4
+    assert np.sqrt((err**2).mean()) < 2e-5
+
+
+def test_df_hf_energy(water_molecule, water_uhf):
+    df = SCFEngine(water_molecule, conv_tol=1e-10, dm_conv_tol=1e-8,
+                   max_cycle=100, density_fitting=True).kernel()
+    assert df.converged
+    assert abs(df.e_tot - water_uhf.e_tot) < 2e-4
+
+
+def test_df_b3lyp_energy(water_molecule, water_uks):
+    df = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9, max_cycle=100,
+                   density_fitting=True).kernel()
+    assert df.converged
+    assert abs(df.e_tot - water_uks.e_tot) < 2e-4
