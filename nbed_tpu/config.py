@@ -122,6 +122,10 @@ class NbedConfig(BaseModel):
 
     force_unrestricted: bool = False
 
+    # nbed_tpu extensions (defaulted off; absent from reference configs)
+    density_fitting: bool = False
+    warmup_f32: bool = False
+
     max_ram_memory: PositiveInt = 4000
     max_hf_cycles: PositiveInt = Field(default=50)
     max_dft_cycles: PositiveInt = Field(default=50)

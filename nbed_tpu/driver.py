@@ -87,6 +87,8 @@ class NbedDriver:
             self._mol, xc=None,
             conv_tol=self.config.convergence,
             max_cycle=self.config.max_hf_cycles,
+            density_fitting=self.config.density_fitting,
+            warmup_f32=self.config.warmup_f32,
         )
 
     @cached_property
@@ -95,6 +97,8 @@ class NbedDriver:
             self._mol, xc=self.config.xc_functional,
             conv_tol=self.config.convergence,
             max_cycle=self.config.max_dft_cycles,
+            density_fitting=self.config.density_fitting,
+            warmup_f32=self.config.warmup_f32,
         )
 
     @cached_property

@@ -91,6 +91,22 @@ def test_second_quantised_output(mu_driver):
     assert h2.shape == (k, k, k, k)
 
 
+def test_df_embedding_pipeline(nbed_config):
+    """Density-fitted engines run the whole embedding pipeline; the
+    classical energy stays within DF accuracy of the exact-ERI result."""
+    cfg = nbed_config.model_copy(update={})
+    cfg.projector = ProjectorTypes.MU
+    cfg.density_fitting = True
+    cfg.run_ccsd_emb = False
+    cfg.run_fci_emb = False
+    driver = NbedDriver(cfg)
+    driver.embed()
+    assert driver.embedded_scf.converged
+    # exact-ERI pipeline gives ~-14.2291 for this config; DF introduces
+    # ~1e-4-scale deviations
+    assert np.isclose(driver.classical_energy, -14.2291, atol=5e-3)
+
+
 def test_huzinaga_seeded_with_mu(nbed_config):
     """init_huzinaga_rhf_with_mu runs the mu branch first and seeds the
     Huzinaga SCF from its density (reference driver.py:871-893)."""
