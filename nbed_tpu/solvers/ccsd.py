@@ -161,12 +161,44 @@ def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
     t2 = jnp.asarray(t2)
     e_prev = 0.0
     e_corr = 0.0
+    # host-side Pulay DIIS on the amplitude vector (residual = update step)
+    diis_dim = 6
+    hist_t, hist_r = [], []
     for it in range(max_cycle):
-        t1, t2, e_corr = _ccsd_step(
+        t1_new, t2_new, e_corr = _ccsd_step(
             t1, t2, fock_j, w_j, (jnp.asarray(d1), jnp.asarray(d2)), (no, nv)
         )
+        r = np.concatenate([
+            np.asarray(t1_new - t1).ravel(), np.asarray(t2_new - t2).ravel()
+        ])
+        t_vec = np.concatenate([
+            np.asarray(t1_new).ravel(), np.asarray(t2_new).ravel()
+        ])
+        hist_t.append(t_vec)
+        hist_r.append(r)
+        if len(hist_t) > diis_dim:
+            hist_t.pop(0)
+            hist_r.pop(0)
+        if len(hist_t) >= 2:
+            m = len(hist_r)
+            b = np.empty((m + 1, m + 1))
+            b[:m, :m] = np.array(
+                [[ri @ rj for rj in hist_r] for ri in hist_r]
+            )
+            b[m, :m] = b[:m, m] = 1.0
+            b[m, m] = 0.0
+            rhs = np.zeros(m + 1)
+            rhs[m] = 1.0
+            try:
+                coef = np.linalg.solve(b, rhs)[:m]
+                t_vec = sum(c * t for c, t in zip(coef, hist_t))
+            except np.linalg.LinAlgError:
+                pass
+        n1 = no * nv
+        t1 = jnp.asarray(t_vec[:n1].reshape(no, nv))
+        t2 = jnp.asarray(t_vec[n1:].reshape(no, no, nv, nv))
         e_corr = float(e_corr)
-        if abs(e_corr - e_prev) < conv_tol:
+        if abs(e_corr - e_prev) < conv_tol and float(np.abs(r).max()) < 1e-6:
             logger.debug("CCSD converged in %d cycles.", it + 1)
             return e_corr, float(e_ref)
         e_prev = e_corr
