@@ -18,7 +18,12 @@ def nbed(config: "NbedConfig | str | None" = None, **config_kwargs):
         dicts, ``embedded_scf`` and ``classical_energy`` populated.
     """
     from .driver import NbedDriver
+    from .utils import setup_logs
 
+    # the reference initialises its .nbed.log at package import
+    # (reference __init__.py:9); we defer to first API use so that merely
+    # importing the library has no filesystem side effects.
+    setup_logs()
     config = parse_config(config, **config_kwargs)
     driver = NbedDriver(config)
     driver.embed()
