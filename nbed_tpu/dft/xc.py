@@ -5,7 +5,9 @@ autodiff, so every functional in :mod:`nbed_tpu.dft.functionals` gets exact
 ``vrho``/``vsigma`` for free. The per-iteration cost is a handful of
 (G, nao) x (nao, nao) GEMMs — MXU-shaped by construction — evaluated over
 grid chunks under ``lax.map`` so peak memory is bounded for large
-molecules.
+molecules. The streaming variant recomputes AO values per chunk (AO
+evaluation is a tiny fraction of the GEMM cost), keeping memory at
+O(chunk * nao) instead of O(G * nao).
 """
 
 import jax
@@ -13,29 +15,11 @@ import jax.numpy as jnp
 
 from .functionals import resolve_functional
 
-__all__ = ["make_xc_fn"]
+__all__ = ["make_xc_fn", "make_xc_fn_streaming"]
 
 
-def make_xc_fn(ao, ao_grad, weights, xc_name: str, chunk: int = 131072):
-    """Build ``xc_fn(dm) -> (exc, vxc (2, n, n))`` for the SCF engine.
-
-    Args:
-        ao: (G, nao) AO values on grid points.
-        ao_grad: (3, G, nao) AO gradients.
-        weights: (G,) quadrature weights (incl. Becke partition).
-        xc_name: functional registry name.
-        chunk: grid points per mapped block (memory bound).
-
-    Returns:
-        Callable, or ``None`` for pure HF. HF exchange is handled by the
-        engine via the ``hyb`` fraction from :func:`resolve_functional`.
-    """
-    terms, _ = resolve_functional(xc_name)
-    if not terms:
-        return None
-
-    # density floor: rho^(-11/3) terms (LYP) overflow f32 below ~1e-6
-    thresh = 1e-11 if ao.dtype == jnp.float64 else 3e-6
+def _chunk_math(terms, thresh):
+    """Per-chunk energy + potential contributions given AO tables."""
 
     def e_density(ra, rb, gaa, gab, gbb):
         mask = (ra + rb) > thresh
@@ -46,49 +30,110 @@ def make_xc_fn(ao, ao_grad, weights, xc_name: str, chunk: int = 131072):
                                   safe(gbb))
         return jnp.where(mask, out, 0.0)
 
-    # zero-pad to whole chunks (zero ao rows -> zero density -> masked out)
-    g = ao.shape[0]
+    def one_chunk(ao_c, grad_c, w_c, dm):
+        def total_e(ra, rb, gaa, gab, gbb):
+            return jnp.sum(w_c * e_density(ra, rb, gaa, gab, gbb))
+
+        ao_d = jnp.einsum("gp,spq->sgq", ao_c, dm)  # (2, C, nao)
+        rho = jnp.einsum("sgq,gq->sg", ao_d, ao_c)
+        grho = 2.0 * jnp.einsum("dgq,sgq->sdg", grad_c, ao_d)  # (2, 3, C)
+        gaa = jnp.einsum("dg,dg->g", grho[0], grho[0])
+        gbb = jnp.einsum("dg,dg->g", grho[1], grho[1])
+        gab = jnp.einsum("dg,dg->g", grho[0], grho[1])
+        exc, partials = jax.value_and_grad(total_e, argnums=(0, 1, 2, 3, 4))(
+            rho[0], rho[1], gaa, gab, gbb
+        )
+        # keep the expensive grid GEMMs in the working precision (f64 numpy
+        # constants inside functionals otherwise promote under x64)
+        dt = ao_c.dtype
+        vra, vrb, vgaa, vgab, vgbb = [p.astype(dt) for p in partials]
+
+        def vmat(vr, vg_ss, vg_ab, grho_s, grho_t):
+            m = jnp.einsum("g,gp,gq->pq", vr, ao_c, ao_c)
+            vec = 2.0 * vg_ss[None, :] * grho_s + vg_ab[None, :] * grho_t
+            half = jnp.einsum("dg,dgp,gq->pq", vec, grad_c, ao_c)
+            return m + half + half.T
+
+        va = vmat(vra, vgaa, vgab, grho[0], grho[1])
+        vb = vmat(vrb, vgbb, vgab, grho[1], grho[0])
+        return exc.astype(dt), jnp.stack([va, vb])
+
+    return one_chunk
+
+
+def _pad_chunks(arr, chunk, axis=0):
+    g = arr.shape[axis]
     n_chunks = max(1, -(-g // chunk))
-    pad = n_chunks * chunk - g
-    ao_p = jnp.pad(ao, ((0, pad), (0, 0))).reshape(n_chunks, -1, ao.shape[1])
-    grad_p = jnp.pad(ao_grad, ((0, 0), (0, pad), (0, 0)))
-    grad_p = grad_p.reshape(3, n_chunks, -1, ao.shape[1]).swapaxes(0, 1)
-    w_p = jnp.pad(weights, (0, pad)).reshape(n_chunks, -1)
+    pad = [(0, 0)] * arr.ndim
+    pad[axis] = (0, n_chunks * chunk - g)
+    out = jnp.pad(arr, pad)
+    new_shape = (
+        out.shape[:axis] + (n_chunks, chunk) + out.shape[axis + 1:]
+    )
+    return out.reshape(new_shape), n_chunks
+
+
+def make_xc_fn(ao, ao_grad, weights, xc_name: str, chunk: int = 131072):
+    """``xc_fn(dm) -> (exc, vxc)`` from precomputed AO tables.
+
+    Suitable when O(G * nao) AO storage fits; otherwise use
+    :func:`make_xc_fn_streaming`.
+    """
+    terms, _ = resolve_functional(xc_name)
+    if not terms:
+        return None
+    thresh = 1e-11 if ao.dtype == jnp.float64 else 3e-6
+    one_chunk = _chunk_math(terms, thresh)
+
+    ao_p, n_chunks = _pad_chunks(ao, chunk)
+    grad_p, _ = _pad_chunks(ao_grad, chunk, axis=1)
+    grad_p = jnp.swapaxes(grad_p, 0, 1)  # (n_chunks, 3, C, nao)
+    w_p, _ = _pad_chunks(weights, chunk)
 
     def xc_fn(dm):
-        def one_chunk(data):
-            ao_c, grad_c, w_c = data  # (C,nao), (3,C,nao), (C,)
+        if n_chunks == 1:
+            return one_chunk(ao_p[0], grad_p[0], w_p[0], dm)
+        exc_c, v_c = jax.lax.map(
+            lambda data: one_chunk(data[0], data[1], data[2], dm),
+            (ao_p, grad_p, w_p),
+        )
+        return jnp.sum(exc_c), jnp.sum(v_c, axis=0)
 
-            def total_e(ra, rb, gaa, gab, gbb):
-                return jnp.sum(w_c * e_density(ra, rb, gaa, gab, gbb))
+    return xc_fn
 
-            ao_d = jnp.einsum("gp,spq->sgq", ao_c, dm)  # (2, C, nao)
-            rho = jnp.einsum("sgq,gq->sg", ao_d, ao_c)
-            grho = 2.0 * jnp.einsum("dgq,sgq->sdg", grad_c, ao_d)  # (2,3,C)
-            gaa = jnp.einsum("dg,dg->g", grho[0], grho[0])
-            gbb = jnp.einsum("dg,dg->g", grho[1], grho[1])
-            gab = jnp.einsum("dg,dg->g", grho[0], grho[1])
-            exc, partials = jax.value_and_grad(total_e, argnums=(0, 1, 2, 3, 4))(
-                rho[0], rho[1], gaa, gab, gbb
-            )
-            # keep the expensive grid GEMMs in the working precision (f64
-            # numpy constants inside functionals otherwise promote under x64)
-            dt = ao_c.dtype
-            vra, vrb, vgaa, vgab, vgbb = [p.astype(dt) for p in partials]
 
-            def vmat(vr, vg_ss, vg_ab, grho_s, grho_t):
-                m = jnp.einsum("g,gp,gq->pq", vr, ao_c, ao_c)
-                vec = 2.0 * vg_ss[None, :] * grho_s + vg_ab[None, :] * grho_t
-                half = jnp.einsum("dg,dgp,gq->pq", vec, grad_c, ao_c)
-                return m + half + half.T
+def make_xc_fn_streaming(mol, coords, points, weights, xc_name: str,
+                         dtype=None, chunk: int = 32768):
+    """``xc_fn(dm)`` that evaluates AO values per grid chunk on the fly —
+    O(chunk * nao) peak memory, for molecules whose full AO table would not
+    fit (e.g. a 26-atom B3LYP grid is ~2.4M points)."""
+    from ..grids import eval_aos
 
-            va = vmat(vra, vgaa, vgab, grho[0], grho[1])
-            vb = vmat(vrb, vgbb, vgab, grho[1], grho[0])
-            return exc.astype(dt), jnp.stack([va, vb])
+    terms, _ = resolve_functional(xc_name)
+    if not terms:
+        return None
+    dtype = points.dtype if dtype is None else dtype
+    thresh = 1e-11 if dtype == jnp.float64 else 3e-6
+    one_chunk = _chunk_math(terms, thresh)
+
+    pts_p, n_chunks = _pad_chunks(points, chunk)
+    # pad with far-away points so padded AO values vanish
+    far = jnp.zeros_like(pts_p[..., 0]) + 1e6
+    mask_rows = jnp.arange(n_chunks * chunk).reshape(n_chunks, chunk) \
+        >= points.shape[0]
+    pts_p = jnp.where(mask_rows[..., None], far[..., None], pts_p)
+    w_p, _ = _pad_chunks(weights.astype(dtype), chunk)
+
+    def xc_fn(dm):
+        def body(data):
+            pts_c, w_c = data
+            ao_c, grad_c = eval_aos(mol, pts_c, coords)
+            return one_chunk(ao_c.astype(dtype), grad_c.astype(dtype), w_c,
+                             dm)
 
         if n_chunks == 1:
-            return one_chunk((ao_p[0], grad_p[0], w_p[0]))
-        exc_c, v_c = jax.lax.map(one_chunk, (ao_p, grad_p, w_p))
+            return body((pts_p[0], w_p[0]))
+        exc_c, v_c = jax.lax.map(body, (pts_p, w_p))
         return jnp.sum(exc_c), jnp.sum(v_c, axis=0)
 
     return xc_fn

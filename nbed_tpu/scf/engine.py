@@ -20,7 +20,7 @@ import numpy as np
 
 from ..chem.molecule import Molecule
 from ..dft.functionals import resolve_functional
-from ..dft.xc import make_xc_fn
+from ..dft.xc import make_xc_fn, make_xc_fn_streaming
 from ..grids import build_grid, eval_aos
 from ..integrals import (
     eri_tensor,
@@ -148,6 +148,23 @@ class SCFEngine:
         n = self.mol.nao
         return jnp.transpose(self.eri, (0, 2, 1, 3)).reshape(n * n, n * n)
 
+    # above ~4e7 AO-table elements (~320 MB in f64, x4 with gradients) the
+    # XC closure streams AO evaluation per grid chunk instead
+    _XC_TABLE_LIMIT = 4e7
+
+    def _build_xc(self, dtype):
+        points, weights = build_grid(self.mol, jnp.asarray(self.coords),
+                                     n_rad=self.grid_size[0],
+                                     n_theta=self.grid_size[1])
+        if points.shape[0] * self.mol.nao > self._XC_TABLE_LIMIT:
+            return make_xc_fn_streaming(
+                self.mol, jnp.asarray(self.coords), points, weights, self.xc,
+                dtype=dtype,
+            )
+        ao, ao_grad = eval_aos(self.mol, points, jnp.asarray(self.coords))
+        return make_xc_fn(ao.astype(dtype), ao_grad.astype(dtype),
+                          weights.astype(dtype), self.xc)
+
     @cached_property
     def _xc(self):
         """(xc_fn or None, hyb)."""
@@ -156,11 +173,7 @@ class SCFEngine:
         terms, hyb = resolve_functional(self.xc)
         if not terms:
             return None, hyb
-        points, weights = build_grid(self.mol, jnp.asarray(self.coords),
-                                     n_rad=self.grid_size[0],
-                                     n_theta=self.grid_size[1])
-        ao, ao_grad = eval_aos(self.mol, points, jnp.asarray(self.coords))
-        return make_xc_fn(ao, ao_grad, weights, self.xc), hyb
+        return self._build_xc(jnp.float64), hyb
 
     @property
     def hyb(self):
@@ -185,15 +198,7 @@ class SCFEngine:
             "eri_k": self.eri_k.astype(f32),
         }
         xc_fn, hyb = self._xc
-        if xc_fn is None:
-            ops["xc_fn"] = None
-        else:
-            points, weights = build_grid(self.mol, jnp.asarray(self.coords),
-                                         n_rad=self.grid_size[0],
-                                         n_theta=self.grid_size[1])
-            ao, ao_grad = eval_aos(self.mol, points, jnp.asarray(self.coords))
-            ops["xc_fn"] = make_xc_fn(ao.astype(f32), ao_grad.astype(f32),
-                                      weights.astype(f32), self.xc)
+        ops["xc_fn"] = None if xc_fn is None else self._build_xc(f32)
         ops["hyb"] = hyb
         return ops
 
