@@ -59,7 +59,11 @@ class HamiltonianBuilder:
 
     def _two_body_integrals(self) -> np.ndarray:
         """(4, k, k, k, k) physicist-notation blocks ordered
-        aaaa, bbbb, aabb, bbaa (ham_builder.py:99-156)."""
+        aaaa, bbbb, aabb, bbaa (ham_builder.py:99-156).
+
+        With a density-fitted engine the MO two-body tensor is assembled
+        from the DF factor (O(k^2 naux) transforms, no O(nao^4) tensor).
+        """
         c = np.asarray(self.scf.mo_coeff)
         if self._restricted:
             c = np.stack([c, c])
@@ -67,8 +71,21 @@ class HamiltonianBuilder:
             raise HamiltonianBuilderError(
                 "Must localize the same number of alpha and beta orbitals."
             )
-        eri_ao = self.scf.engine.eri
         ca, cb = jnp.asarray(c[0]), jnp.asarray(c[1])
+        if getattr(self.scf.engine, "density_fitting", False):
+            b = self.scf.engine._df_b  # (nao, nao, naux)
+            b_mo = {
+                "a": jnp.einsum("abP,ai,bj->ijP", b, ca, ca),
+                "b": jnp.einsum("abP,ai,bj->ijP", b, cb, cb),
+            }
+            blocks = []
+            for s1, s2 in (("a", "a"), ("b", "b"), ("a", "b"), ("b", "a")):
+                chem = np.asarray(
+                    jnp.einsum("ijP,klP->ijkl", b_mo[s1], b_mo[s2])
+                )
+                blocks.append(chem.transpose(0, 2, 3, 1))
+            return np.stack(blocks)
+        eri_ao = self.scf.engine.eri
         blocks = []
         for c1, c2 in (((ca, ca)), ((cb, cb)), ((ca, cb)), ((cb, ca))):
             chem = np.asarray(ao_to_mo_eri(eri_ao, c1, c1, c2, c2))

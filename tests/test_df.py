@@ -33,6 +33,21 @@ def test_df_hf_energy(water_molecule, water_uhf):
     assert abs(df.e_tot - water_uhf.e_tot) < 2e-4
 
 
+def test_df_hamiltonian_builder(water_molecule, water_uhf):
+    """DF-based AO->MO two-body assembly tracks the exact builder: the
+    FCI ground state agrees to DF accuracy without any O(nao^4) tensor."""
+    from nbed_tpu.ham import HamiltonianBuilder
+    from nbed_tpu.solvers import run_fci
+
+    df_sol = SCFEngine(water_molecule, conv_tol=1e-10, dm_conv_tol=1e-8,
+                       max_cycle=100, density_fitting=True).kernel()
+    const, h1, h2 = HamiltonianBuilder(df_sol, 0.0).build()
+    vals, _ = run_fci(const, h1, h2, 14, (5, 5))
+    e_df = float(vals[0]) + df_sol.energy_nuc()
+    # exact-path FCI oracle (reference tests/test_driver.py:76)
+    assert abs(e_df - (-75.00912605315143)) < 5e-4
+
+
 def test_df_b3lyp_energy(water_molecule, water_uks):
     df = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9, max_cycle=100,
                    density_fitting=True).kernel()
