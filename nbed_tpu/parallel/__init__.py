@@ -14,7 +14,8 @@ TPU-native parallel dimensions for this domain are:
 from .sharding import (
     batched_hf_energies,
     make_mesh,
+    make_sharded_scf,
     sharded_scf,
 )
 
-__all__ = ["make_mesh", "sharded_scf", "batched_hf_energies"]
+__all__ = ["make_mesh", "make_sharded_scf", "sharded_scf", "batched_hf_energies"]

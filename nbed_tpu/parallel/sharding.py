@@ -50,12 +50,18 @@ def pad_to_multiple(x, multiple: int, axes=(0,)):
     return jnp.pad(x, pads)
 
 
-def sharded_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None, **scf_kwargs):
-    """Run HF with the ERI supermatrices sharded over the mesh 'model' axis.
+def make_sharded_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,
+                     **scf_kwargs):
+    """Build the model-parallel SCF program: ``(jitted_fn, args)``.
 
-    The J/K builds become distributed GEMMs: each device contracts its slab
-    of (ij|kl) / (ik|jl) with the (replicated) density and XLA all-gathers
-    the result over ICI. Returns the (replicated) SCFResult.
+    The ERI supermatrices are row-padded to a multiple of the 'model' axis
+    and sharded row-wise; each device contracts its *padded* slab with the
+    replicated density (the pad rows stay in the GEMM so XLA never reshards
+    the big operand) and only the small per-row output vector is sliced back
+    to ``n*n`` before the reshape. Exposed separately from :func:`sharded_scf`
+    so tests can lower/compile the program and assert the partitioning
+    (collectives in the HLO, per-device slab shapes) rather than just the
+    numerics.
     """
     c = jnp.asarray(mol.coords) if coords is None else coords
     n = mol.nao
@@ -73,16 +79,31 @@ def sharded_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None, **scf_kwargs
     s = jax.device_put(overlap(mol, c), replicated)
 
     def padded_run(hcore, s, eri_j, eri_k):
-        # row-padded supermatrices: slice the padded rows off after the GEMM
-        # by folding the slice into wrappers around run_scf's contraction:
-        # simplest correct formulation — unpad before use; XLA keeps the
-        # GEMM partitioned by operand sharding.
-        ej = eri_j[: n * n]
-        ek = eri_k[: n * n]
-        return run_scf(hcore=hcore, s=s, eri_j=ej, eri_k=ek,
+        def jk_fn(dm):
+            # GEMMs run over the full padded row space (row-sharded slabs x
+            # replicated density); the pad rows are dropped from the *small*
+            # output vectors only, after the contraction.
+            d_tot = (dm[0] + dm[1]).reshape(-1)
+            j = (eri_j @ d_tot)[: n * n].reshape(n, n)
+            k = (eri_k @ dm.reshape(2, n * n).T).T[:, : n * n].reshape(2, n, n)
+            return j, k
+
+        return run_scf(hcore=hcore, s=s, jk_fn=jk_fn,
                        nelec=mol.nelec if nelec is None else nelec, **scf_kwargs)
 
-    return jax.jit(padded_run)(hcore, s, eri_j, eri_k)
+    return jax.jit(padded_run), (hcore, s, eri_j, eri_k)
+
+
+def sharded_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None, **scf_kwargs):
+    """Run HF with the ERI supermatrices sharded over the mesh 'model' axis.
+
+    The J/K builds become distributed GEMMs: each device contracts its slab
+    of (ij|kl) / (ik|jl) with the (replicated) density and XLA all-gathers
+    the result over ICI. Returns the (replicated) SCFResult.
+    """
+    fn, args = make_sharded_scf(mol, mesh, coords=coords, nelec=nelec,
+                                **scf_kwargs)
+    return fn(*args)
 
 
 def batched_hf_energies(mol: Molecule, coords_batch, mesh: Mesh | None = None,

@@ -7,6 +7,10 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Never route test compiles through the axon remote-compile helper: it is a
+# single HTTP endpoint that wedges under concurrent compile-heavy processes,
+# and it compiles for a different host CPU (AOT feature-mismatch on reload).
+os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 # Keep the CPU test cache separate from TPU/remote-compile artifacts (the
 # axon harness routes compiles through a helper on a host with different CPU
 # features; mixing caches triggers feature-mismatch AOT loads). For fully
