@@ -1,8 +1,25 @@
 """Grid construction and AO evaluation on grid points.
 
-The grid geometry (points, weights) is a pure jittable function of atomic
-coordinates with static shapes: per-atom shells are fixed at build time, and
-Becke partition weights are computed on-device in memory-bounded chunks.
+Two quadrature schemes:
+
+``scheme="reference"`` (default) replicates the grid stack the reference
+inherits through PySCF ``dft.UKS`` (reference driver.py:163-169): per-element
+Treutler-Ahlrichs M4 radial maps (Treutler & Ahlrichs, JCP 102, 346 (1995)),
+Lebedev angular rules (solved tables, :mod:`.lebedev`), NWChem radial
+pruning of the angular order, and Becke partitioning with Treutler's
+sqrt-radii atomic-size adjustment.  This is what makes embedded energies
+(which contain non-variational XC terms: v_emb, e_env, the XC cross term)
+agree with the reference oracles to ~1e-6 Ha — a denser but *different*
+quadrature converges to a value offset by the reference grid's own
+quadrature error (~3e-5 Ha on water/B3LYP).
+
+``scheme="product"`` is the round-1 Mura-Knowles x Gauss-Legendre product
+grid, kept for arbitrarily-high-degree convergence studies.
+
+Either way the grid geometry (points, weights) is a pure jittable function
+of atomic coordinates with static shapes: per-atom shells are fixed at build
+time, and Becke partition weights are computed on-device in memory-bounded
+chunks.
 """
 
 from dataclasses import dataclass
@@ -13,11 +30,13 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..chem.molecule import Molecule, cartesian_components
+from .lebedev import lebedev_grid
 
 __all__ = ["MolecularGrid", "build_grid", "eval_aos"]
 
 # Bragg-Slater radii (angstrom -> bohr at use site), H..Ar, for Becke size
-# adjustment. Values from Bragg (1920) as used by standard DFT grids.
+# adjustment and NWChem pruning. Values from Bragg (1920) as used by
+# standard DFT grids (noble gases carry the historical Slater placeholders).
 _BRAGG = {
     1: 0.35, 2: 1.40, 3: 1.45, 4: 1.05, 5: 0.85, 6: 0.70, 7: 0.65, 8: 0.60,
     9: 0.50, 10: 1.50, 11: 1.80, 12: 1.50, 13: 1.25, 14: 1.10, 15: 1.00,
@@ -25,6 +44,12 @@ _BRAGG = {
 }
 _ANGSTROM_TO_BOHR = 1.0 / 0.52917721092
 
+
+def _bragg_bohr(z: int) -> float:
+    return _BRAGG.get(int(z), 1.5) * _ANGSTROM_TO_BOHR
+
+
+# ------------------------------------------------------- radial schemes
 
 def _radial_mura_knowles(n: int, alpha: float = 5.0):
     """Mura-Knowles Log3 radial grid: r = -alpha ln(1 - x^3)."""
@@ -34,6 +59,105 @@ def _radial_mura_knowles(n: int, alpha: float = 5.0):
     # dr/dx = alpha * 3x^2/(1-x^3); weight includes r^2 dr
     w = (alpha * 3.0 * x**2 / (1.0 - x**3)) / n * r**2
     return r, w
+
+
+def _radial_treutler(n: int):
+    """Treutler-Ahlrichs M4 radial map on Chebyshev-2 abscissas.
+
+    r_i = -(1/ln2) (1+x)^0.6 ln((1-x)/2),  x = cos(i pi/(n+1)), i=1..n,
+    returned in ascending r with weights w_i = 4 pi r_i^2 dr_i (dr folds the
+    Chebyshev quadrature step).  Matches the radial scheme behind the
+    reference's PySCF grids (no per-element xi; atomic size enters through
+    the Becke radii adjustment instead).
+    """
+    step = np.pi / (n + 1)
+    ln2 = np.log(2.0)
+    i = np.arange(1, n + 1)
+    x = np.cos(i * step)
+    r = -(1.0 / ln2) * (1.0 + x) ** 0.6 * np.log((1.0 - x) / 2.0)
+    dr = (
+        step * np.sin(i * step) * (1.0 / ln2) * (1.0 + x) ** 0.6
+        * (-0.6 / (1.0 + x) * np.log((1.0 - x) / 2.0) + 1.0 / (1.0 - x))
+    )
+    w = 4.0 * np.pi * r**2 * dr
+    return r[::-1], w[::-1]
+
+
+# ------------------------------------------------ per-element defaults
+
+_PERIOD_BOUNDS = (2, 10, 18, 36, 54, 86)
+
+#   period:      1    2    3    4    5    6    7     (by grid level 0..9)
+_RAD_TABLE = (
+    (10, 15, 20, 30, 35, 40, 50),
+    (30, 40, 50, 60, 65, 70, 75),
+    (40, 60, 65, 75, 80, 85, 90),
+    (50, 75, 80, 90, 95, 100, 105),
+    (60, 90, 95, 105, 110, 115, 120),
+    (70, 105, 110, 120, 125, 130, 135),
+    (80, 120, 125, 135, 140, 145, 150),
+    (90, 135, 140, 150, 155, 160, 165),
+    (100, 150, 155, 165, 170, 175, 180),
+    (200, 200, 200, 200, 200, 200, 200),
+)
+_ANG_DEGREE_TABLE = (
+    (11, 15, 17, 17, 17, 17, 17),
+    (17, 23, 23, 23, 23, 23, 23),
+    (23, 29, 29, 29, 29, 29, 29),
+    (29, 29, 35, 35, 35, 35, 35),
+    (35, 41, 41, 41, 41, 41, 41),
+    (41, 47, 47, 47, 47, 47, 47),
+    (47, 53, 53, 53, 53, 53, 53),
+    (53, 59, 59, 59, 59, 59, 59),
+    (59, 59, 59, 59, 59, 59, 59),
+    (65, 65, 65, 65, 65, 65, 65),
+)
+_DEGREE_TO_N = {3: 6, 5: 14, 7: 26, 9: 38, 11: 50, 13: 74, 15: 86, 17: 110,
+                19: 146, 21: 170, 23: 194, 25: 230, 27: 266, 29: 302,
+                31: 350, 35: 434}
+# rule sequence used by the NWChem prune index arithmetic
+_NWCHEM_SEQ = (38, 50, 74, 86, 110, 146, 170, 194, 230, 266, 302, 350, 434)
+
+
+def _period(z: int) -> int:
+    return sum(z > b for b in _PERIOD_BOUNDS)  # 0-based
+
+
+def _default_rad_ang(z: int, level: int):
+    period = min(_period(z), 6)
+    n_rad = _RAD_TABLE[level][period]
+    degree = _ANG_DEGREE_TABLE[level][period]
+    # clamp to the largest solved Lebedev table
+    avail = {d for d, n in _DEGREE_TO_N.items() if _has_rule(n)}
+    degree = max(d for d in avail if d <= degree) if degree not in avail else degree
+    return n_rad, _DEGREE_TO_N[degree]
+
+
+def _has_rule(n: int) -> bool:
+    from .data_lebedev import LEBEDEV_PARAMS
+
+    return n in LEBEDEV_PARAMS
+
+
+def _nwchem_prune(z: int, rads: np.ndarray, n_ang: int) -> np.ndarray:
+    """Per-radial-point angular rule size (NWChem scheme)."""
+    alphas = (
+        (0.25, 0.5, 1.0, 4.5),
+        (0.1667, 0.5, 0.9, 3.5),
+        (0.1, 0.4, 0.8, 2.5),
+    )[0 if z <= 2 else (1 if z <= 10 else 2)]
+    if n_ang < 50:
+        return np.full(len(rads), n_ang, dtype=int)
+    if n_ang == 50:
+        leb_l = np.array([1, 2, 2, 2, 1])
+    else:
+        idx = _NWCHEM_SEQ.index(n_ang)
+        leb_l = np.array([1, 3, idx - 1, idx, idx])
+    place = (rads[:, None] / _bragg_bohr(z) > np.asarray(alphas)[None, :]).sum(axis=1)
+    angs = np.asarray(_NWCHEM_SEQ)[leb_l[place]]
+    # fall back to the largest solved rule if an order is unavailable
+    avail = sorted(n for n in _NWCHEM_SEQ if _has_rule(n))
+    return np.array([n if _has_rule(n) else avail[-1] for n in angs])
 
 
 def _angular_product(n_theta: int):
@@ -62,7 +186,7 @@ class MolecularGrid:
 
 
 @lru_cache(maxsize=32)
-def _grid_meta(mol: Molecule, n_rad: int, n_theta: int) -> MolecularGrid:
+def _grid_meta_product(mol: Molecule, n_rad: int, n_theta: int) -> MolecularGrid:
     ang_pts, ang_w = _angular_product(n_theta)
     rel, w, owner = [], [], []
     for ia, z in enumerate(mol.atom_charges):
@@ -82,17 +206,48 @@ def _grid_meta(mol: Molecule, n_rad: int, n_theta: int) -> MolecularGrid:
     )
 
 
-def _becke_weights(points, owner, coords, bragg_radii, chunk=32768):
-    """Becke fuzzy-cell partition weights (k=3 smoothing, size adjust).
+@lru_cache(maxsize=32)
+def _grid_meta_reference(mol: Molecule, level: int) -> MolecularGrid:
+    rel, w, owner = [], [], []
+    for ia, z in enumerate(mol.atom_charges):
+        n_rad, n_ang = _default_rad_ang(int(z), level)
+        r, wr = _radial_treutler(n_rad)
+        angs = _nwchem_prune(int(z), r, n_ang)
+        for i in range(n_rad):
+            leb_pts, leb_w = lebedev_grid(int(angs[i]))
+            rel.append(r[i] * leb_pts)
+            w.append(wr[i] * leb_w)
+            owner.append(np.full(len(leb_w), ia))
+    rel = np.concatenate(rel)
+    return MolecularGrid(
+        rel_points=rel,
+        base_weights=np.concatenate(w),
+        atom_of_point=np.concatenate(owner),
+        size=len(rel),
+    )
 
-    Becke, JCP 88, 2547 (1988); size adjustment eq. A2 with Bragg radii.
+
+def _becke_weights(points, owner, coords, bragg_radii, chunk=32768,
+                   adjust="treutler"):
+    """Becke fuzzy-cell partition weights (k=3 smoothing).
+
+    Becke, JCP 88, 2547 (1988).  ``adjust="treutler"`` uses Treutler's
+    atomic-size adjustment a_ij = (chi_ji - chi_ij)/4 with
+    chi_ij = sqrt(R_i/R_j) clipped to +-1/2 (the scheme behind the
+    reference's PySCF grids); ``adjust="becke"`` uses Becke's appendix
+    formula on the plain radius ratio.
     """
     natm = coords.shape[0]
     rij = jnp.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
     rij = rij + jnp.eye(natm)  # avoid 0 division on diagonal
-    chi = bragg_radii[:, None] / bragg_radii[None, :]
-    u = (chi - 1.0) / (chi + 1.0)
-    a = jnp.clip(u / (u * u - 1.0), -0.5, 0.5)
+    if adjust == "treutler":
+        rad = jnp.sqrt(bragg_radii)
+        chi = rad[:, None] / rad[None, :]
+        a = jnp.clip(0.25 * (1.0 / chi - chi), -0.5, 0.5)
+    else:
+        chi = bragg_radii[:, None] / bragg_radii[None, :]
+        u = (chi - 1.0) / (chi + 1.0)
+        a = jnp.clip(u / (u * u - 1.0), -0.5, 0.5)
 
     def wpart(pts, own):
         d = jnp.linalg.norm(pts[:, None, :] - coords[None, :, :], axis=-1)  # (g,natm)
@@ -122,20 +277,28 @@ def _becke_weights(points, owner, coords, bragg_radii, chunk=32768):
     return full
 
 
-def build_grid(mol: Molecule, coords=None, n_rad: int = 80, n_theta: int = 18):
+def build_grid(mol: Molecule, coords=None, n_rad: int = 80, n_theta: int = 18,
+               scheme: str = "reference", level: int = 3):
     """Return (points (G,3), weights (G,)) for XC quadrature.
 
     Pure function of ``coords``: differentiable and vmappable over
-    conformers.
+    conformers.  ``scheme="reference"`` ignores ``n_rad``/``n_theta`` and
+    uses the per-element level-``level`` defaults; ``scheme="product"``
+    ignores ``level``.
     """
-    meta = _grid_meta(mol, n_rad, n_theta)
+    if scheme == "reference":
+        meta = _grid_meta_reference(mol, level)
+        adjust = "treutler"
+    elif scheme == "product":
+        meta = _grid_meta_product(mol, n_rad, n_theta)
+        adjust = "becke"
+    else:
+        raise ValueError(f"Unknown grid scheme '{scheme}'")
     c = jnp.asarray(mol.coords) if coords is None else coords
     owner = jnp.asarray(meta.atom_of_point)
     points = jnp.asarray(meta.rel_points) + c[owner]
-    bragg = jnp.asarray(
-        [_BRAGG.get(int(z), 1.5) * _ANGSTROM_TO_BOHR for z in mol.atom_charges]
-    )
-    becke = _becke_weights(points, owner, c, bragg)
+    bragg = jnp.asarray([_bragg_bohr(int(z)) for z in mol.atom_charges])
+    becke = _becke_weights(points, owner, c, bragg, adjust=adjust)
     return points, jnp.asarray(meta.base_weights) * becke
 
 

@@ -69,10 +69,14 @@ class SCFEngine:
     conv_tol: float = 1e-6
     dm_conv_tol: float = 1e-6
     max_cycle: int = 50
-    grid_size: tuple = (96, 22)  # (n_radial, n_theta)
+    grid_size: tuple = (96, 22)  # (n_radial, n_theta) for scheme="product"
+    grid_scheme: str = "reference"  # "reference" (PySCF-parity) | "product"
+    grid_level: int = 3  # per-element density level for scheme="reference"
     coords: Optional[np.ndarray] = None  # override geometry (bohr)
     integrals_backend: str = "auto"  # "auto" | "native" | "jax"
     warmup_f32: bool = False  # f32 pre-SCF seeding the f64 solve (TPU perf)
+    pallas_jk: str = "auto"  # fused Pallas J/K in the f32 warm-up:
+    # "auto" (on TPU), "on" (interpret-mode off-TPU, for tests), "off"
     density_fitting: bool = False  # DF J/K: O(nao^2 naux) memory, GEMM builds
     df_beta: float = 2.0  # even-tempered auxiliary-basis ratio
 
@@ -155,7 +159,9 @@ class SCFEngine:
     def _build_xc(self, dtype):
         points, weights = build_grid(self.mol, jnp.asarray(self.coords),
                                      n_rad=self.grid_size[0],
-                                     n_theta=self.grid_size[1])
+                                     n_theta=self.grid_size[1],
+                                     scheme=self.grid_scheme,
+                                     level=self.grid_level)
         if points.shape[0] * self.mol.nao > self._XC_TABLE_LIMIT:
             return make_xc_fn_streaming(
                 self.mol, jnp.asarray(self.coords), points, weights, self.xc,
@@ -201,6 +207,33 @@ class SCFEngine:
         ops["xc_fn"] = None if xc_fn is None else self._build_xc(f32)
         ops["hyb"] = hyb
         return ops
+
+    @cached_property
+    def _pallas_jk_fn(self):
+        """Fused-Pallas J/K closure over the f32 supermatrices, or None.
+
+        The TPU hot path for the mixed-precision warm-up: one kernel launch
+        streams each G_J/G_K tile through VMEM once and accumulates J and
+        both spin K's (halving exchange-channel HBM traffic vs separate
+        XLA matvecs).  Off-TPU the kernel runs only in interpret mode and
+        only when explicitly requested (``pallas_jk="on"``, used by tests).
+        """
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        mode = self.pallas_jk
+        if mode == "off" or (mode == "auto" and not on_tpu):
+            return None
+        from ..ops.pallas_jk import fused_jk
+
+        ops = self._f32_ops
+        gj, gk = ops["eri_j"], ops["eri_k"]
+        interpret = not on_tpu
+
+        def jk(dm):
+            return fused_jk(gj, gk, dm, interpret=interpret)
+
+        return jk
 
     @cached_property
     def _df_b(self):
@@ -289,9 +322,12 @@ class SCFEngine:
         if self.warmup_f32 and dm0 is None:
             f32 = jnp.float32
             ops = self._f32_ops
+            pallas_fn = self._pallas_jk_fn
             warm = run_scf(
                 hcore=ops["hcore"], s=ops["s"],
-                eri_j=ops["eri_j"], eri_k=ops["eri_k"],
+                eri_j=None if pallas_fn else ops["eri_j"],
+                eri_k=None if pallas_fn else ops["eri_k"],
+                jk_fn=pallas_fn,
                 nelec=nelec,
                 v_emb=None if v_emb is None else jnp.asarray(v_emb, f32),
                 xc_fn=ops["xc_fn"], hyb=ops["hyb"],

@@ -12,11 +12,14 @@ from nbed_tpu.driver import NbedDriver
 
 def test_global_ks(mu_driver):
     result = mu_driver._global_ks
-    assert np.isclose(result.e_tot, -75.3091447400438, atol=5e-6)
+    # achieved -7.6e-8 with the reference-parity grid (docs/ACCURACY.md)
+    assert np.isclose(result.e_tot, -75.3091447400438, atol=2e-7)
+    # the e1/e2 split carries the oracle's own ~1.3e-5 convergence imprint
+    # (scripts/oracle_noise.py), hence the looser bound here
     assert np.allclose(
         result.energy_elec(),
         (-84.59485896172163, 37.93302591280513),
-        atol=5e-6,
+        atol=2e-5,
     )
 
 
@@ -56,16 +59,19 @@ def test_restricted_dft_in_dft(mu_driver, huz_driver):
 def test_embedded_ccsd(driver, request):
     driver = request.getfixturevalue(driver)
     result = getattr(driver, driver.config.projector.value)
-    # reference tests/test_driver.py:107-108; grid-limited tolerance
-    assert np.isclose(result["e_ccsd"], -75.1285849238916, atol=2e-4)
+    # reference tests/test_driver.py:107-108. With the reference-parity grid
+    # the deviation is ~7e-6; the remainder is the oracle's own SCF
+    # convergence imprint (docs/ACCURACY.md, scripts/oracle_noise.py).
+    assert np.isclose(result["e_ccsd"], -75.1285849238916, atol=1e-5)
 
 
 @pytest.mark.parametrize("driver", ["mu_driver", "huz_driver"])
 def test_embedded_fci(driver, request):
     driver = request.getfixturevalue(driver)
     result = getattr(driver, driver.config.projector.value)
-    # reference tests/test_driver.py:127
-    assert np.isclose(result["e_fci"], -75.12858550813999, atol=2e-4)
+    # reference tests/test_driver.py:127; tolerance rationale as in
+    # test_embedded_ccsd (achieved ~6e-6, docs/ACCURACY.md)
+    assert np.isclose(result["e_fci"], -75.12858550813999, atol=1e-5)
 
 
 def test_projector_results_match(mu_driver, huz_driver):
@@ -142,7 +148,7 @@ def test_incorrect_geometry_path():
 def test_driver_standard_xyz_string_input(spinless_driver):
     """Reference tests/test_driver.py:187-197."""
     assert np.isclose(
-        spinless_driver.classical_energy, -3.5867934952241356, atol=2e-4
+        spinless_driver.classical_energy, -3.5867934952241356, atol=3e-5
     )
     assert np.asarray(spinless_driver.embedded_scf.mo_coeff).shape == (2, 7, 6)
     assert np.all(
