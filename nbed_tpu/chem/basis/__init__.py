@@ -30,15 +30,28 @@ def available_basis_sets() -> list[str]:
 def get_element_shells(basis: str, symbol: str):
     """Return the contracted shells for ``symbol`` in basis ``basis``.
 
+    ``basis`` may also be a path to a Basis Set Exchange JSON file, which is
+    parsed (and cached under its path) on first use — the escape hatch to
+    any basis beyond the bundled tables (reference accepts any PySCF-bundled
+    basis, driver.py:96-102).
+
     Raises:
         KeyError: for unknown basis names or unsupported elements.
     """
     key = basis.strip().lower().replace("*", "(d)")
+    if key not in _REGISTRY and key.endswith(".json"):
+        import os
+
+        if os.path.exists(basis.strip()):
+            from .bse import parse_bse_json
+
+            _REGISTRY[key] = parse_bse_json(basis.strip())
     try:
         table = _REGISTRY[key]
     except KeyError as exc:
         raise KeyError(
-            f"Basis set '{basis}' not available. Have: {available_basis_sets()}"
+            f"Basis set '{basis}' not available. Have: {available_basis_sets()} "
+            f"(or pass a Basis Set Exchange JSON file path)."
         ) from exc
     sym = symbol.capitalize()
     try:

@@ -303,8 +303,15 @@ class NbedDriver:
               n_mo_overwrite: tuple = (None, None)) -> None:
         """Run the full embedding pipeline (reference driver.py:808-923)."""
         cfg = self.config
-        if cfg.virtual_localization is VirtualLocalizerTypes.PROJECTED_AO:
-            raise NotImplementedError("PAO not yet fully implemented.")
+        if (cfg.virtual_localization is VirtualLocalizerTypes.PROJECTED_AO
+                and cfg.projector is not ProjectorTypes.HUZ):
+            # PAO virtuals define the Huzinaga virtual-space projector, so
+            # they require the Huzinaga embedding. The reference guards *all*
+            # projectors (driver.py:819-820), leaving its own PAO+huz branch
+            # (driver.py:878-888) dead; here PAO+huzinaga runs end-to-end.
+            raise NotImplementedError(
+                "PAO virtual localization requires projector='huzinaga'."
+            )
 
         init_huzinaga_rhf_with_mu = (
             init_huzinaga_rhf_with_mu or cfg.init_huzinaga_rhf_with_mu

@@ -1,17 +1,26 @@
 """Two-electron repulsion integrals (chemist notation (ab|cd)).
 
-Shell quartets are canonicalised (a>=b, c>=d, pair(ab)>=pair(cd)) and grouped
-into static angular-momentum/contraction classes; one vectorised
-McMurchie–Davidson kernel per class is ``vmap``-ped (in memory-bounded
-chunks) over the quartet list, and blocks are scattered to all 8 symmetric
-positions with precomputed indices.
+Shell quartets are canonicalised (a>=b, c>=d, pair(ab)>=pair(cd)), rotated to
+an l-sorted representative of their 8-fold permutation orbit, and grouped by
+angular class ``(la, lb, lc, ld)`` only.  Contractions are *flattened*: every
+primitive quartet becomes one row of a flat work list, a single vectorised
+McMurchie-Davidson kernel is ``vmap``-ped over fixed-size chunks of that
+list, and rows are scatter-added into per-quartet cartesian blocks.  This
+keeps the number of traced/compiled XLA programs at the number of angular
+classes (<= 21 for an spd basis) instead of the (l, contraction-bucket)
+product of the previous design — together with the vectorised Hermite R
+build (:func:`..integrals.md.hermite_r`) this is what makes d-function bases
+trace in seconds, unblocking vmapped-conformer and sharded workflows on
+cc-pVDZ-class sets (reference relies on libcint for all of this,
+SURVEY.md §2.3 row 3).
 
-Replaces the reference's reliance on PySCF ``get_veff``/``ao2mo`` C cores
-(SURVEY.md §2.3 row 3). The output tensor feeds MXU-friendly J/K GEMMs in
-:mod:`nbed_tpu.scf.jk`.
+Blocks are finally rotated to spherical AOs with the per-shell
+(norm-folding) cart2sph matrices and scattered to all 8 symmetric positions
+with precomputed indices.  The output tensor feeds MXU-friendly J/K GEMMs.
 """
 
 from functools import lru_cache
+from itertools import product
 
 import jax
 import jax.numpy as jnp
@@ -55,62 +64,68 @@ def _eri_prim(la, lb, lc, ld):
     return f
 
 
-def _bucket(k: int) -> int:
-    """Pad contraction lengths into a small set of buckets: bounds the
-    number of static quartet classes to trace/compile (a d-basis molecule
-    otherwise generates O(100) classes, each a separate XLA program) while
-    keeping the common lengths exact (no padded work for K in 1..4, 6, 9)."""
-    for b in (1, 2, 3, 4, 6, 9, 16, 32):
-        if k <= b:
-            return b
-    raise ValueError(f"contraction length {k} too large")
+def _l_sorted(q, shells):
+    """Rotate a quartet to the l-sorted representative of its 8-orbit:
+    l_a >= l_b, l_c >= l_d, (l_a, l_b) >= (l_c, l_d)."""
+    a, b, c, d = q
+    if shells[a].l < shells[b].l:
+        a, b = b, a
+    if shells[c].l < shells[d].l:
+        c, d = d, c
+    if (shells[a].l, shells[b].l) < (shells[c].l, shells[d].l):
+        a, b, c, d = c, d, a, b
+    return (a, b, c, d)
 
 
-def _padded(arr_list, bucket, fill):
-    """Pad list of 1-D arrays to `bucket` length with `fill`."""
-    out = np.full((len(arr_list), bucket), fill, dtype=np.float64)
-    for i, a in enumerate(arr_list):
-        out[i, : len(a)] = a
-    return out
+class _AngularClass:
+    """Static arrays for one (la, lb, lc, ld) class.
 
+    ``prim_*`` arrays are the flattened primitive work list (one row per
+    primitive quartet, rows grouped by quartet so scatter-add targets are
+    contiguous); ``c2s_*`` are the per-quartet spherical rotations;
+    ``indices`` are the 8 symmetric scatter images of the spherical block.
+    """
 
-class _QuartetTable:
-    """Static arrays for one (l, K-bucket) class of canonical quartets.
-
-    Contractions are zero-padded to the bucket length (padded primitives
-    carry coefficient 0 and a benign exponent 1), so padding changes cost
-    but not results."""
-
-    def __init__(self, key, quartets, shells):
-        (self.la, self.lb, self.lc, self.ld), kb = key
+    def __init__(self, ls, quartets, shells):
+        self.ls = ls
         sh = [[shells[i] for i in q] for q in quartets]
-        self.atoms = np.array([[s.atom for s in q] for q in sh])  # (M, 4)
-        self.exps = [
-            _padded([q[k].exps for q in sh], kb[k], 1.0) for k in range(4)
-        ]
-        self.coefs = [
-            _padded([q[k].coeffs for q in sh], kb[k], 0.0) for k in range(4)
-        ]
-        self.c2s = [np.array([q[k].cart2sph for q in sh]) for k in range(4)]
-        ns = [2 * l + 1 for l in (self.la, self.lb, self.lc, self.ld)]
-        offs = [np.array([q[k].ao_offset for q in sh]) for k in range(4)]
         m = len(quartets)
-        # coordinate grids of the spherical block, offset per quartet
+        self.m = m
+        self.atoms = np.array([[s.atom for s in q] for q in sh])  # (M, 4)
+        self.c2s = [np.array([q[k].cart2sph for q in sh]) for k in range(4)]
+
+        exps, coefs, qid, atom_rows = [], [], [], []
+        for mi, q in enumerate(sh):
+            prim_sets = [list(zip(s.exps, s.coeffs)) for s in q]
+            for combo in product(*prim_sets):
+                exps.append([p[0] for p in combo])
+                coefs.append(np.prod([p[1] for p in combo]))
+                qid.append(mi)
+                atom_rows.append(self.atoms[mi])
+        self.prim_exps = np.array(exps)  # (P, 4)
+        self.prim_coef = np.array(coefs)  # (P,)
+        self.prim_qid = np.array(qid, dtype=np.int32)  # (P,)
+        self.prim_atoms = np.array(atom_rows, dtype=np.int32)  # (P, 4)
+        self.n_prim = len(qid)
+
+        ns = [2 * shells[quartets[0][k]].l + 1 for k in range(4)]
+        self.ncart = [
+            (shells[quartets[0][k]].l + 1) * (shells[quartets[0][k]].l + 2) // 2
+            for k in range(4)
+        ]
+        offs = [np.array([q[k].ao_offset for q in sh]) for k in range(4)]
         grids = np.meshgrid(*[np.arange(n) for n in ns], indexing="ij")
         coords = [
             offs[k][:, None, None, None, None] + grids[k][None] for k in range(4)
         ]  # each (M, na, nb, nc, nd)
-        # scatter the same value layout to all 8 permutation images
         perms = [
             (0, 1, 2, 3), (1, 0, 2, 3), (0, 1, 3, 2), (1, 0, 3, 2),
             (2, 3, 0, 1), (3, 2, 0, 1), (2, 3, 1, 0), (3, 2, 1, 0),
         ]
-        idx = []
-        for perm in perms:
-            idx.append(tuple(coords[perm.index(k)].reshape(-1) for k in range(4)))
-        self.indices = idx  # list of 8 tuples of 4 flat arrays
-        self.block_size = int(np.prod(ns))
-        self.m = m
+        self.indices = [
+            tuple(coords[perm.index(k)].reshape(-1) for k in range(4))
+            for perm in perms
+        ]
 
 
 def _canonical_quartets(nsh):
@@ -126,79 +141,74 @@ def _canonical_quartets(nsh):
 
 
 @lru_cache(maxsize=32)
-def _quartet_tables(mol: Molecule):
+def _angular_classes(mol: Molecule):
     shells = mol.shells
     groups = {}
     for q in _canonical_quartets(len(shells)):
+        q = _l_sorted(q, shells)
         ls = tuple(shells[i].l for i in q)
-        ks = tuple(_bucket(len(shells[i].exps)) for i in q)
-        groups.setdefault((ls, ks), []).append(q)
+        groups.setdefault(ls, []).append(q)
     return [
-        _QuartetTable(key, quartets, shells)
-        for key, quartets in sorted(groups.items())
+        _AngularClass(ls, quartets, shells)
+        for ls, quartets in sorted(groups.items())
     ]
 
 
-def _chunked_vmap(fn, args, m, chunk):
-    """vmap ``fn`` over the leading axis of ``args`` in memory-bounded chunks.
+@lru_cache(maxsize=None)
+def _class_chunk_fn(ls):
+    """Process one fixed-size chunk of the primitive work list: compute the
+    cartesian block of every row and scatter-add into the per-quartet
+    accumulator.  One compiled program per angular class (jit re-specialises
+    on the accumulator/chunk shapes)."""
+    prim = _eri_prim(*ls)
 
-    Full chunks run under one ``lax.map`` (compiled once); the remainder runs
-    as a single smaller vmap.
-    """
-    body = jax.vmap(fn)
-    if m <= chunk:
-        return body(*args)
-    n_full = m // chunk
-    stacked = tuple(
-        a[: n_full * chunk].reshape((n_full, chunk) + a.shape[1:]) for a in args
-    )
-    full = jax.lax.map(lambda xs: body(*xs), stacked)
-    full = full.reshape((n_full * chunk,) + full.shape[2:])
-    if m - n_full * chunk:
-        tail = body(*[a[n_full * chunk:] for a in args])
-        return jnp.concatenate([full, tail], axis=0)
-    return full
+    @jax.jit
+    def step(acc, coords, exps, coef, qid, atoms):
+        def one(e4, cf, at):
+            ra, rb, rc, rd = (coords[at[0]], coords[at[1]],
+                              coords[at[2]], coords[at[3]])
+            return cf * prim(ra, rb, rc, rd, e4[0], e4[1], e4[2], e4[3])
+
+        blocks = jax.vmap(one)(exps, coef, atoms)  # (chunk, nca..ncd)
+        return acc.at[qid].add(blocks)
+
+    return step
 
 
-def eri_tensor(mol: Molecule, coords=None, chunk: int = 8192):
+def eri_tensor(mol: Molecule, coords=None, chunk_elems: int = 2**22):
     """Full AO ERI tensor (nao, nao, nao, nao), chemist notation (ij|kl).
 
-    Pure function of ``coords``; 8-fold permutation symmetry is used to
-    compute only canonical quartets. ``chunk`` bounds the vmapped batch to
-    keep intermediate Hermite tables within memory.
+    Pure function of ``coords`` (differentiable / vmappable over
+    conformers); 8-fold permutation symmetry is used to compute only
+    canonical quartets.  ``chunk_elems`` bounds the per-chunk intermediate
+    (chunk_rows * cartesian-block elements).
     """
     c = jnp.asarray(mol.coords) if coords is None else coords
     nao = mol.nao
     out = jnp.zeros((nao, nao, nao, nao))
-    for table in _quartet_tables(mol):
-        prim = _eri_prim(table.la, table.lb, table.lc, table.ld)
-
-        def quartet_fn(atoms, e0, c0, e1, c1, e2, c2, e3_, c3, s0, s1, s2, s3):
-            ra, rb, rc, rd = c[atoms[0]], c[atoms[1]], c[atoms[2]], c[atoms[3]]
-            f = jax.vmap(
-                lambda ai: jax.vmap(
-                    lambda bj: jax.vmap(
-                        lambda ck: jax.vmap(
-                            lambda dl: prim(ra, rb, rc, rd, ai, bj, ck, dl)
-                        )(e3_)
-                    )(e2)
-                )(e1)
-            )(e0)  # (Ka,Kb,Kc,Kd, nca,ncb,ncc,ncd)
-            block = jnp.einsum("i,j,k,l,ijklabcd->abcd", c0, c1, c2, c3, f)
-            return jnp.einsum("abcd,ap,bq,cr,ds->pqrs", block, s0, s1, s2, s3)
-
-        args = (
-            jnp.asarray(table.atoms),
-            jnp.asarray(table.exps[0]), jnp.asarray(table.coefs[0]),
-            jnp.asarray(table.exps[1]), jnp.asarray(table.coefs[1]),
-            jnp.asarray(table.exps[2]), jnp.asarray(table.coefs[2]),
-            jnp.asarray(table.exps[3]), jnp.asarray(table.coefs[3]),
-            jnp.asarray(table.c2s[0]), jnp.asarray(table.c2s[1]),
-            jnp.asarray(table.c2s[2]), jnp.asarray(table.c2s[3]),
+    for cls in _angular_classes(mol):
+        block = int(np.prod(cls.ncart))
+        chunk = max(16, min(cls.n_prim, chunk_elems // block))
+        step = _class_chunk_fn(cls.ls)
+        acc = jnp.zeros((cls.m, *cls.ncart))
+        p = cls.n_prim
+        pad = (-p) % chunk
+        # pad rows carry coefficient 0 and benign exponents: they add 0
+        exps = np.pad(cls.prim_exps, ((0, pad), (0, 0)), constant_values=1.0)
+        coef = np.pad(cls.prim_coef, (0, pad))
+        qid = np.pad(cls.prim_qid, (0, pad))
+        atoms = np.pad(cls.prim_atoms, ((0, pad), (0, 0)))
+        for s in range(0, p + pad, chunk):
+            sl = slice(s, s + chunk)
+            acc = step(acc, c, jnp.asarray(exps[sl]), jnp.asarray(coef[sl]),
+                       jnp.asarray(qid[sl]), jnp.asarray(atoms[sl]))
+        sph = jnp.einsum(
+            "mabcd,map,mbq,mcr,mds->mpqrs", acc,
+            jnp.asarray(cls.c2s[0]), jnp.asarray(cls.c2s[1]),
+            jnp.asarray(cls.c2s[2]), jnp.asarray(cls.c2s[3]),
         )
-        blocks = _chunked_vmap(quartet_fn, args, table.m, chunk)
-        vals = blocks.reshape(-1)
-        for (ia, ib, ic, id_) in table.indices:
+        vals = sph.reshape(-1)
+        for (ia, ib, ic, id_) in cls.indices:
             # .set with duplicate indices is safe: duplicates carry equal values
             out = out.at[jnp.asarray(ia), jnp.asarray(ib),
                          jnp.asarray(ic), jnp.asarray(id_)].set(vals)

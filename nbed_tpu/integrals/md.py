@@ -96,43 +96,55 @@ def e_table_1d(la: int, lb: int, a, b, ab_dist):
 def hermite_r(lmax: int, p, pq):
     """Hermite Coulomb integrals R_{tuv}(p, PQ) for all t+u+v <= lmax.
 
+    Vectorised downward recursion in the Boys order n: each step builds the
+    full (lmax+1)^3 cube for order n from the order-(n+1) cube with three
+    shifted-slice updates, so trace size is O(lmax) tensor ops instead of the
+    O(lmax^4) unrolled scalar graph of the naive memoised recursion (which
+    made d-function quartet classes take minutes to trace).  Entries with
+    t+u+v > lmax hold garbage from the truncated recursion but are finite
+    and never read by consumers (E-tensor contractions stop at lmax).
+
     Args:
         lmax: static total Hermite order.
         p: exponent-like prefactor (scalar under vmap).
         pq: 3-vector P - Q (or P - C for nuclear attraction).
 
     Returns:
-        (lmax+1, lmax+1, lmax+1) array (entries with t+u+v > lmax are zero).
+        (lmax+1, lmax+1, lmax+1) array R[t, u, v].
     """
     t_arg = p * jnp.sum(pq * pq)
     f = boys(lmax, t_arg)  # (lmax+1,)
+    base = (-2.0 * p) ** jnp.arange(lmax + 1) * f  # R^n_{000}
+    size = lmax + 1
+    if lmax == 0:
+        return base.reshape(1, 1, 1)
 
-    # r[(n, t, u, v)] built by downward recursion in n
-    cache = {}
-    for n in range(lmax + 1):
-        cache[(n, 0, 0, 0)] = (-2.0 * p) ** n * f[n]
+    idx = jnp.arange(size)
+    tm = idx.reshape(-1, 1, 1)
+    um = idx.reshape(1, -1, 1)
+    vm = idx.reshape(1, 1, -1)
 
-    def get(n, t, u, v):
-        if t < 0 or u < 0 or v < 0:
-            return 0.0
-        key = (n, t, u, v)
-        if key in cache:
-            return cache[key]
-        if t >= 1:
-            val = (t - 1) * get(n + 1, t - 2, u, v) + pq[0] * get(n + 1, t - 1, u, v)
-        elif u >= 1:
-            val = (u - 1) * get(n + 1, t, u - 2, v) + pq[1] * get(n + 1, t, u - 1, v)
-        else:
-            val = (v - 1) * get(n + 1, t, u, v - 2) + pq[2] * get(n + 1, t, u, v - 1)
-        cache[key] = val
-        return val
+    def shift(a, axis, k):
+        """out[..., i, ...] = a[..., i-k, ...] (zeros shifted in)."""
+        pad = [(0, 0)] * 3
+        pad[axis] = (k, 0)
+        sl = [slice(None)] * 3
+        sl[axis] = slice(0, size)
+        return jnp.pad(a, pad)[tuple(sl)]
 
-    out = jnp.zeros((lmax + 1, lmax + 1, lmax + 1))
-    for t in range(lmax + 1):
-        for u in range(lmax + 1 - t):
-            for v in range(lmax + 1 - t - u):
-                out = out.at[t, u, v].set(get(0, t, u, v) + jnp.zeros(()))
-    return out
+    r = jnp.zeros((size, size, size), base.dtype).at[0, 0, 0].set(base[lmax])
+    for n in range(lmax - 1, -1, -1):
+        # R^n_{tuv} from R^{n+1} via the first nonzero index (the (t-1)
+        # coefficient vanishes exactly where the shifted slice pads zeros)
+        cand_t = (tm - 1) * shift(r, 0, 2) + pq[0] * shift(r, 0, 1)
+        cand_u = (um - 1) * shift(r, 1, 2) + pq[1] * shift(r, 1, 1)
+        cand_v = (vm - 1) * shift(r, 2, 2) + pq[2] * shift(r, 2, 1)
+        new = jnp.where(
+            tm >= 1, cand_t,
+            jnp.where(um >= 1, cand_u, jnp.where(vm >= 1, cand_v, 0.0)),
+        )
+        r = new.at[0, 0, 0].set(base[n])
+    return r
 
 
 def hermite_r_cross(lab: int, lcd: int, alpha, pq):

@@ -66,16 +66,50 @@ def parse():
     return NbedConfig(**config_data)
 
 
-def pubchem_mol_geometry(molecule_name) -> dict:
-    """Fetch a geometry from PubChem by name (reference utils.py:80-112).
+def pubchem_mol_geometry(molecule_name, timeout: float = 10.0) -> dict:
+    """Fetch a 3-D geometry from PubChem by compound name.
 
-    This build runs with zero network egress; the function exists for API
-    parity and raises a clear error when the fetch cannot be performed.
+    Same output contract as the reference (utils.py:80-112, which wraps
+    OpenFermion's PubChem lookup): ``{index: (symbol, (x, y, z))}`` in
+    angstrom.  Implemented directly against the PubChem PUG REST API
+    (record JSON with ``record_type=3d``); raises a clear error when the
+    molecule is unknown or the host has no network access.
     """
-    raise RuntimeError(
-        "PubChem geometry lookup requires network access, which is not "
-        "available in this environment. Provide an XYZ string or file instead."
+    import urllib.error
+    import urllib.parse
+    import urllib.request
+
+    name = urllib.parse.quote(str(molecule_name))
+    url = (
+        "https://pubchem.ncbi.nlm.nih.gov/rest/pug/compound/name/"
+        f"{name}/record/JSON?record_type=3d"
     )
+    try:
+        with urllib.request.urlopen(url, timeout=timeout) as resp:
+            record = json.load(resp)
+    except urllib.error.HTTPError as exc:
+        raise ValueError(
+            f"Could not find a 3-D geometry of '{molecule_name}' on PubChem "
+            "... make sure the input is a correct path to an xyz file or a "
+            "real molecule"
+        ) from exc
+    except (urllib.error.URLError, OSError) as exc:
+        raise RuntimeError(
+            "PubChem geometry lookup requires network access, which is not "
+            "available. Provide an XYZ string or file instead."
+        ) from exc
+
+    compound = record["PC_Compounds"][0]
+    zs = compound["atoms"]["element"]
+    conf = compound["coords"][0]["conformers"][0]
+    xs, ys = conf["x"], conf["y"]
+    zc = conf.get("z", [0.0] * len(xs))
+    from .chem.periodic import Z_TO_SYMBOL
+
+    struct_dict = {}
+    for ind, (z, x, y, zz) in enumerate(zip(zs, xs, ys, zc)):
+        struct_dict[ind] = (Z_TO_SYMBOL[z], (x, y, zz))
+    return struct_dict
 
 
 def build_ordered_xyz_string(struct_dict: dict, active_atom_inds: list) -> str:

@@ -15,6 +15,8 @@ from nbed_tpu.ham import (
 from nbed_tpu.scf.engine import SCFEngine
 from nbed_tpu.solvers import run_fci
 
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 def test_restricted_groundstate(water_rhf):
     const, h1, h2 = HamiltonianBuilder(water_rhf, 0).build()

@@ -7,8 +7,11 @@ from nbed_tpu import native
 from nbed_tpu.chem.basis.auxiliary import make_auxiliary_molecule
 from nbed_tpu.scf.engine import SCFEngine
 
-pytestmark = pytest.mark.skipif(not native.available(),
-                                reason="native engine unavailable")
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy; smoke tier = -m 'not slow'
+    pytest.mark.skipif(not native.available(),
+                       reason="native engine unavailable"),
+]
 
 
 def test_df_factor_reconstructs_eri(water_molecule):

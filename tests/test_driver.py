@@ -9,6 +9,8 @@ from pydantic import ValidationError
 from nbed_tpu.config import NbedConfig, ProjectorTypes
 from nbed_tpu.driver import NbedDriver
 
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 def test_global_ks(mu_driver):
     result = mu_driver._global_ks
@@ -111,6 +113,38 @@ def test_df_embedding_pipeline(nbed_config):
     # exact-ERI pipeline gives ~-14.2291 for this config; DF introduces
     # ~1e-4-scale deviations
     assert np.isclose(driver.classical_energy, -14.2291, atol=5e-3)
+
+
+def test_pao_huzinaga_end_to_end(nbed_config, huz_driver):
+    """PAO virtual localization runs the full Huzinaga pipeline (the
+    reference's own PAO+huz branch is dead behind its guard,
+    reference driver.py:819-820 vs 878-888)."""
+    from nbed_tpu.config import VirtualLocalizerTypes
+
+    cfg = nbed_config.model_copy(update={})
+    cfg.projector = ProjectorTypes.HUZ
+    cfg.virtual_localization = VirtualLocalizerTypes.PROJECTED_AO
+    cfg.run_ccsd_emb = False
+    cfg.run_fci_emb = False
+    driver = NbedDriver(cfg)
+    driver.embed()
+    assert driver.embedded_scf.converged
+    # The PAO virtual projector restricts the embedded virtual space; the
+    # embedded SCF energy stays within a fraction of a Hartree of the
+    # unrestricted-virtual Huzinaga solution on the same config.
+    plain = huz_driver.embedded_scf.e_tot
+    assert abs(driver.embedded_scf.e_tot - plain) < 1.0
+    assert np.isfinite(driver.classical_energy)
+
+
+def test_pao_requires_huzinaga(nbed_config):
+    from nbed_tpu.config import VirtualLocalizerTypes
+
+    cfg = nbed_config.model_copy(update={})
+    cfg.projector = ProjectorTypes.MU
+    cfg.virtual_localization = VirtualLocalizerTypes.PROJECTED_AO
+    with pytest.raises(NotImplementedError):
+        NbedDriver(cfg).embed()
 
 
 def test_huzinaga_seeded_with_mu(nbed_config):

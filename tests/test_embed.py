@@ -8,6 +8,8 @@ from pydantic import ValidationError
 from nbed_tpu.driver import NbedDriver
 from nbed_tpu.embed import nbed
 
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 @pytest.fixture(scope="module")
 def fast_args(water_filepath):

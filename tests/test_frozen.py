@@ -7,6 +7,10 @@ from nbed_tpu.ham import HamiltonianBuilder, reduce_virtuals
 from nbed_tpu.solvers import run_fci
 from nbed_tpu.solvers.frozen import freeze_spinorbitals
 
+import pytest
+
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 def test_frozen_virtuals_match_reduced_space(water_uhf):
     """Freezing the top virtual == building on the virtual-reduced SCF."""

@@ -1,6 +1,7 @@
 """Integral engine tests: closed-form oracles and tensor symmetries."""
 
 import numpy as np
+import pytest
 from scipy.special import erf
 
 from nbed_tpu.chem import build_molecule
@@ -82,3 +83,23 @@ def test_dipole_symmetric(water_molecule):
     assert d.shape == (3, 7, 7)
     for k in range(3):
         assert np.allclose(d[k], d[k].T, atol=1e-13)
+
+
+@pytest.mark.slow
+def test_eri_d_functions_vs_native():
+    """JAX-path ERIs with d functions (cc-pVDZ) match the native engine.
+
+    Regression for the d-class trace blowup: the angular-class/flat-primitive
+    design plus the vectorised Hermite R build must trace and run this in
+    seconds, unblocking vmapped-conformer workflows on d bases.
+    """
+    from nbed_tpu import native
+    from nbed_tpu.integrals.eri import _angular_classes
+
+    if not native.available():
+        pytest.skip("native engine unavailable")
+    mol = build_molecule("1\n\nO 0.0 0.0 0.0", "cc-pvdz")
+    assert len(_angular_classes(mol)) <= 21
+    a = np.asarray(eri_tensor(mol))
+    b = native.eri(mol, np.asarray(mol.coords))
+    assert np.abs(a - b).max() < 1e-12

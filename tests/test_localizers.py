@@ -17,6 +17,8 @@ from nbed_tpu.localizers import (
 )
 from nbed_tpu.scf.engine import SCFEngine
 
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 N_ACTIVE = 1
 
 

@@ -52,3 +52,30 @@ def test_electron_override(water_molecule):
     assert emb.nelec == (3, 3)
     # original untouched
     assert water_molecule.nelec == (5, 5)
+
+
+def test_bse_json_basis_roundtrip(tmp_path, water_xyz):
+    """A Basis Set Exchange JSON file reproduces the bundled table exactly
+    (the escape hatch to arbitrary bases, reference driver.py:96-102)."""
+    import json
+
+    from nbed_tpu.chem.basis import get_element_shells
+
+    elements = {}
+    for sym, z in (("O", 8), ("H", 1)):
+        shells = get_element_shells("sto-3g", sym)
+        elements[str(z)] = {"electron_shells": [
+            {"angular_momentum": [l],
+             "exponents": [repr(e) for e, _ in prims],
+             "coefficients": [[repr(c) for _, c in prims]]}
+            for l, prims in shells
+        ]}
+    path = tmp_path / "mybasis.json"
+    path.write_text(json.dumps({"elements": elements}))
+
+    a = build_molecule(water_xyz, "sto-3g")
+    b = build_molecule(water_xyz, str(path))
+    assert a.nao == b.nao
+    for sa, sb in zip(a.shells, b.shells):
+        assert sa.l == sb.l and sa.atom == sb.atom
+        assert np.allclose(sa.exps, sb.exps) and np.allclose(sa.coeffs, sb.coeffs)

@@ -5,6 +5,10 @@ import numpy as np
 
 from nbed_tpu.ops import fused_jk
 
+import pytest
+
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 def test_fused_jk_matches_reference():
     nao = 12

@@ -6,9 +6,11 @@ import pytest
 
 from nbed_tpu.parallel import batched_hf_energies, make_mesh, sharded_scf
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
-)
+pytestmark = [
+    pytest.mark.slow,  # compile-heavy; smoke tier = -m 'not slow'
+    pytest.mark.skipif(len(jax.devices()) < 8,
+                       reason="needs 8 (virtual) devices"),
+]
 
 
 def test_sharded_scf_matches_single_device(water_molecule, water_uhf):

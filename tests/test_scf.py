@@ -10,6 +10,8 @@ import pytest
 
 from nbed_tpu.scf import huzinaga_scf
 
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 def test_uhf_oracle(water_uhf, water_uhf_engine):
     assert np.isclose(water_uhf.e_tot, -74.96099960129165, atol=5e-8)

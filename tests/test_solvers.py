@@ -5,6 +5,10 @@ import numpy as np
 from nbed_tpu.ham import HamiltonianBuilder
 from nbed_tpu.solvers import run_ccsd, run_fci
 
+import pytest
+
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 def _interleaved_occ(sol):
     occ = np.asarray(sol.mo_occ)

@@ -4,6 +4,10 @@ import numpy as np
 
 from nbed_tpu.scf.engine import SCFEngine
 
+import pytest
+
+pytestmark = pytest.mark.slow  # driver/compile-heavy; smoke tier = -m 'not slow'
+
 
 def test_streaming_xc_matches_tables(water_molecule, water_uks):
     eng = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9, max_cycle=100)
