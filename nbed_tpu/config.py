@@ -122,8 +122,9 @@ class NbedConfig(BaseModel):
 
     force_unrestricted: bool = False
 
-    # nbed_tpu extensions (defaulted off; absent from reference configs)
-    density_fitting: bool = False
+    # nbed_tpu extensions (absent from reference configs)
+    # density_fitting: None = auto (DF above the driver's nao threshold)
+    density_fitting: bool | None = None
     warmup_f32: bool = False
 
     max_ram_memory: PositiveInt = 4000

@@ -81,13 +81,29 @@ class NbedDriver:
             mm_radii=cfg.mm_radii if self.run_qmmm else None,
         )
 
+    # exact O(nao^4) ERIs above this AO count would dominate memory; the
+    # driver then defaults to density fitting (config.density_fitting=None)
+    _DF_NAO_THRESHOLD = 96
+
+    @property
+    def _use_df(self) -> bool:
+        if self.config.density_fitting is not None:
+            return self.config.density_fitting
+        auto = self._mol.nao >= self._DF_NAO_THRESHOLD
+        if auto:
+            logger.info(
+                "nao=%d >= %d: enabling density fitting (override with "
+                "density_fitting=False).", self._mol.nao, self._DF_NAO_THRESHOLD,
+            )
+        return auto
+
     @cached_property
     def _hf_engine(self) -> SCFEngine:
         return SCFEngine(
             self._mol, xc=None,
             conv_tol=self.config.convergence,
             max_cycle=self.config.max_hf_cycles,
-            density_fitting=self.config.density_fitting,
+            density_fitting=self._use_df,
             warmup_f32=self.config.warmup_f32,
         )
 
@@ -97,7 +113,7 @@ class NbedDriver:
             self._mol, xc=self.config.xc_functional,
             conv_tol=self.config.convergence,
             max_cycle=self.config.max_dft_cycles,
-            density_fitting=self.config.density_fitting,
+            density_fitting=self._use_df,
             warmup_f32=self.config.warmup_f32,
         )
 

@@ -78,7 +78,7 @@ class SCFEngine:
     pallas_jk: str = "auto"  # fused Pallas J/K in the f32 warm-up:
     # "auto" (on TPU), "on" (interpret-mode off-TPU, for tests), "off"
     density_fitting: bool = False  # DF J/K: O(nao^2 naux) memory, GEMM builds
-    df_beta: float = 2.0  # even-tempered auxiliary-basis ratio
+    df_beta: float = 1.8  # even-tempered auxiliary-basis ratio
 
     def __post_init__(self):
         if self.coords is None:

@@ -69,11 +69,12 @@ def dm_environment(spinless_driver):
 # NOTE on oracles: the reference's standalone huzinaga_scf tests
 # (tests/test_scf.py:19-134) assert MO energies produced by a historical
 # fixture state that is not reproducible from the current fixture
-# definitions (feeding them through a bit-faithful numpy replica of the
-# reference's own algorithm does not recover those numbers either; the
-# fixtures also mix densities from one geometry with an SCF on another, for
-# which the Huzinaga theorem's D S D = D premise is false). The Huzinaga
-# machinery IS oracle-validated end-to-end through the driver tests
+# definitions.  Reproduction evidence: scripts/huzinaga_oracle_repro.py runs
+# a line-faithful replica of the reference algorithm on the exact fixture
+# inputs and converges to MO energies up to 0.48 Ha from the asserted
+# oracle; the fixtures mix densities from one geometry with an SCF on
+# another, for which the Huzinaga premise D S D = D fails by 1.4e-1.  The
+# Huzinaga machinery IS oracle-validated end-to-end through the driver tests
 # (embedded CCSD/FCI energies and the DFT-in-DFT identity,
 # tests/test_driver.py); here we assert the defining algorithmic properties
 # on *matched* inputs: potential, environment density and SCF all on the
