@@ -100,6 +100,28 @@ def bench_fock(details):
         device=str(jax.devices()[0]), fock_nao=nao, t_fock_device_s=t_dev,
         t_fock_numpy_s=t_np, numpy_gflops=flops_per_build / t_np / 1e9,
     )
+
+    # mixed-precision hot path: the fused Pallas f32 J/K kernel (engine
+    # warm-up path) on the same supermatrices — TPU only (no interpret-mode
+    # timing noise)
+    if jax.default_backend() == "tpu":
+        try:
+            from nbed_tpu.ops.pallas_jk import fused_jk
+
+            gj32 = gj_d.astype(jnp.float32)
+            gk32 = gk_d.astype(jnp.float32)
+            jax.block_until_ready(fused_jk(gj32, gk32, dm_d))  # compile
+            t0 = time.perf_counter()
+            for _ in range(n_rep):
+                out32 = fused_jk(gj32, gk32, dm_d)
+            jax.block_until_ready(out32)
+            t_pallas = (time.perf_counter() - t0) / n_rep
+            details["t_fock_pallas_f32_s"] = t_pallas
+            details["pallas_f32_gflops"] = flops_per_build / t_pallas / 1e9
+            details["pallas_vs_f64_device"] = t_dev / t_pallas
+        except Exception as exc:
+            details["pallas_error"] = repr(exc)
+
     return flops_per_build / t_dev / 1e9, t_np / t_dev
 
 

@@ -24,3 +24,15 @@ def test_fused_jk_matches_reference():
     k_ref = (g_k @ dm.reshape(2, -1).T).T.reshape(2, nao, nao)
     assert np.allclose(np.asarray(j), j_ref, rtol=1e-5, atol=1e-4)
     assert np.allclose(np.asarray(k), k_ref, rtol=1e-5, atol=1e-4)
+
+
+def test_pallas_warmup_scf_matches_f64(water_molecule):
+    """The fused Pallas J/K kernel wired into the f32 SCF warm-up
+    (SCFEngine.pallas_jk) reproduces the plain f64 solve to 1e-8."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    ref = SCFEngine(water_molecule, conv_tol=1e-10, max_cycle=100).kernel()
+    pal = SCFEngine(water_molecule, conv_tol=1e-10, max_cycle=100,
+                    warmup_f32=True, pallas_jk="on").kernel()
+    assert pal.converged
+    assert abs(pal.e_tot - ref.e_tot) < 1e-8
