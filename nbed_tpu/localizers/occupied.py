@@ -206,8 +206,15 @@ def _jacobi_sweeps(c_occ, pop_matrices, exponent=2, max_sweeps=200, tol=1e-10):
                 ci, cj = c[:, i].copy(), c[:, j].copy()
                 c[:, i] = cos_a * ci + sin_a * cj
                 c[:, j] = -sin_a * ci + cos_a * cj
-                # update population matrices restricted to (i, j)
-                q = q_all(c)
+                # incremental update q -> G^T q G: a 2x2 rotation only mixes
+                # rows/columns (i, j), O(A n) instead of re-projecting the
+                # full AO operators (O(A nao^2 n)) after every rotation
+                qi, qj = q[:, i, :].copy(), q[:, j, :].copy()
+                q[:, i, :] = cos_a * qi + sin_a * qj
+                q[:, j, :] = -sin_a * qi + cos_a * qj
+                qi, qj = q[:, :, i].copy(), q[:, :, j].copy()
+                q[:, :, i] = cos_a * qi + sin_a * qj
+                q[:, :, j] = -sin_a * qi + cos_a * qj
                 improvement += max(gain, 0.0)
         if improvement < tol:
             break

@@ -12,7 +12,7 @@ driver manipulates (environment deletion, virtual localization).
 
 import logging
 from dataclasses import dataclass
-from functools import cached_property
+from functools import cached_property, lru_cache
 from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
@@ -51,6 +51,28 @@ def _spinify(dm):
     return dm
 
 
+# Hund's-rule unpaired-electron counts for neutral atoms (SAD guess)
+_ATOM_SPIN = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1, 10: 0,
+              11: 1, 12: 0, 13: 1, 14: 2, 15: 3, 16: 2, 17: 1, 18: 0}
+
+
+@lru_cache(maxsize=64)
+def _atomic_density(symbol: str, basis: str):
+    """Spin-summed UHF density of the neutral atom (per-spin average), for
+    the superposition-of-atomic-densities initial guess."""
+    from ..chem import build_molecule
+    from ..chem.periodic import SYMBOL_TO_Z
+
+    mol = build_molecule(f"1\n\n{symbol} 0.0 0.0 0.0", basis)
+    z = SYMBOL_TO_Z[symbol.capitalize()]
+    spin = _ATOM_SPIN.get(z, z % 2)
+    na = (z + spin) // 2
+    eng = SCFEngine(mol, conv_tol=1e-8, max_cycle=100, init_guess="hcore")
+    res = eng.kernel(nelec=(na, z - na))
+    dm = res.make_rdm1()
+    return 0.5 * np.asarray(dm[0] + dm[1])
+
+
 @dataclass(eq=False)
 class SCFEngine:
     """Operator context for one molecule + method.
@@ -79,6 +101,12 @@ class SCFEngine:
     # "auto" (on TPU), "on" (interpret-mode off-TPU, for tests), "off"
     density_fitting: bool = False  # DF J/K: O(nao^2 naux) memory, GEMM builds
     df_beta: float = 1.8  # even-tempered auxiliary-basis ratio
+    incremental_jk: str = "auto"  # f32 incremental Fock builds in the f64
+    # SCF (J/K of the density *change* on the MXU, periodic f64 rebase):
+    # "auto" (on TPU), "on" (force, for tests), "off"
+    rebase_every: int = 8  # full-f64 J/K rebuild period for incremental SCF
+    init_guess: str = "sad"  # "sad" (superposition of atomic densities,
+    # essential beyond ~50 AOs) | "hcore" (the reference Huzinaga-loop guess)
 
     def __post_init__(self):
         if self.coords is None:
@@ -236,6 +264,51 @@ class SCFEngine:
         return jk
 
     @cached_property
+    def _jk_fast_fn(self):
+        """f32 J/K closure for incremental Fock builds, or None.
+
+        The f64 SCF contracts only density *changes* through this path (see
+        :func:`run_scf`), so its f32 error decays with ``|dD|``; on TPU this
+        moves nearly every Fock build from emulated-f64 to MXU-rate f32.
+        """
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        mode = self.incremental_jk
+        if mode == "off" or (mode == "auto" and not on_tpu):
+            return None
+        if self.density_fitting:
+            b32 = self._df_b.astype(jnp.float32)
+
+            def jk(dm32):
+                d_tot = dm32[0] + dm32[1]
+                rho = jnp.einsum("abP,ab->P", b32, d_tot)
+                j = jnp.einsum("abP,P->ab", b32, rho)
+
+                def k_spin(d):
+                    # signed eigen-decomposition: delta densities are
+                    # symmetric but NOT positive semidefinite
+                    w, u = jnp.linalg.eigh(d)
+                    t = jnp.einsum("ikP,ko->ioP", b32, u)
+                    return jnp.einsum("ioP,joP,o->ij", t, t, w)
+
+                return j, jnp.stack([k_spin(dm32[0]), k_spin(dm32[1])])
+
+            return jk
+        if self._pallas_jk_fn is not None:
+            return self._pallas_jk_fn
+        ops = self._f32_ops
+        gj, gk = ops["eri_j"], ops["eri_k"]
+        n = self.mol.nao
+
+        def jk(dm32):
+            j = (gj @ (dm32[0] + dm32[1]).reshape(-1)).reshape(n, n)
+            k = (gk @ dm32.reshape(2, n * n).T).T.reshape(2, n, n)
+            return j, k
+
+        return jk
+
+    @cached_property
     def _df_b(self):
         """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP.
 
@@ -250,8 +323,13 @@ class SCFEngine:
         b3 = native.eri_3c(self.mol, aux, self.coords)
         m2 = native.eri_2c(aux, self.coords)
         w, v = np.linalg.eigh(m2)
-        w = np.maximum(w, 1e-10)
-        m_isqrt = (v / np.sqrt(w)[None, :]) @ v.T
+        # canonical orthogonalisation: *discard* near-null metric directions
+        # (clip-inverting them amplifies integral noise by 1/sqrt(w) and
+        # destroys large overcomplete auto-aux sets)
+        keep = w > 1e-10 * w.max()
+        m_isqrt = v[:, keep] / np.sqrt(w[keep])[None, :]  # (naux, nkeep)
+        logger.debug("DF aux: %d functions, %d kept after metric pruning",
+                     len(w), int(keep.sum()))
         return jnp.asarray(np.einsum("abP,PQ->abQ", b3, m_isqrt, optimize=True))
 
     def _df_jk(self, dm):
@@ -271,6 +349,20 @@ class SCFEngine:
 
         k = jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
         return j, k
+
+    def _sad_guess(self):
+        """Superposition-of-atomic-densities guess: block-diagonal assembly
+        of cached per-element neutral-atom UHF densities."""
+        from ..chem.periodic import Z_TO_SYMBOL
+
+        n = self.mol.nao
+        dm = np.zeros((n, n))
+        sl = self.mol.aoslice_by_atom()
+        for ia, z in enumerate(self.mol.atom_charges):
+            blk = _atomic_density(Z_TO_SYMBOL[int(z)], self.mol.basis)
+            p0, p1 = int(sl[ia, 2]), int(sl[ia, 3])
+            dm[p0:p1, p0:p1] = blk
+        return np.stack([dm, dm])
 
     # ------------------------------------------------------------ methods
     def energy_nuc(self):
@@ -319,7 +411,14 @@ class SCFEngine:
         xc_fn, hyb = self._xc
         if self.density_fitting:
             self._df_b  # noqa: B018 — materialise outside any jax trace
-        if self.warmup_f32 and dm0 is None:
+        from_guess = False
+        if (dm0 is None and self.init_guess == "sad"
+                and tuple(nelec) == tuple(self.mol.nelec) and v_emb is None):
+            # full-molecule SCF: seed from atomic densities (embedded-SCF
+            # calls keep the reference's modified-hcore guess)
+            dm0 = self._sad_guess()
+            from_guess = True
+        if self.warmup_f32 and (dm0 is None or from_guess):
             f32 = jnp.float32
             ops = self._f32_ops
             pallas_fn = self._pallas_jk_fn
@@ -328,6 +427,7 @@ class SCFEngine:
                 eri_j=None if pallas_fn else ops["eri_j"],
                 eri_k=None if pallas_fn else ops["eri_k"],
                 jk_fn=pallas_fn,
+                dm0=None if dm0 is None else _spinify(dm0).astype(f32),
                 nelec=nelec,
                 v_emb=None if v_emb is None else jnp.asarray(v_emb, f32),
                 xc_fn=ops["xc_fn"], hyb=ops["hyb"],
@@ -345,6 +445,8 @@ class SCFEngine:
             eri_j=None if self.density_fitting else self.eri_j,
             eri_k=None if self.density_fitting else self.eri_k,
             jk_fn=self._df_jk if self.density_fitting else None,
+            jk_fn_fast=self._jk_fast_fn,
+            rebase_every=self.rebase_every,
             nelec=nelec,
             v_emb=None if v_emb is None else jnp.asarray(v_emb),
             xc_fn=xc_fn,

@@ -361,8 +361,15 @@ RULES = {
                     0.003571540554273387,
                     0.1233548532583327, 0.4127724083168531,
                     0.003392312205006170]),
-    350: dict(p=31, spec=dict(a1=1, a3=1, nb=6, nc=2, nd=3), seed=None),
-    434: dict(p=35, spec=dict(a1=1, a2=1, a3=1, nb=7, nc=2, nd=4), seed=None),
+    # For the unseeded rules the point-count + parameter-count identities
+    # leave a few candidate (nb, nc) splits; multistart tries each.
+    350: dict(p=31, spec=dict(a1=1, a3=1, nb=6, nc=2, nd=3), seed=None,
+              alt_specs=[dict(a1=1, a3=1, nb=5, nc=3, nd=3),
+                         dict(a1=1, a3=1, nb=7, nc=1, nd=3),
+                         dict(a1=1, a3=1, nb=4, nc=4, nd=3)]),
+    434: dict(p=35, spec=dict(a1=1, a2=1, a3=1, nb=7, nc=2, nd=4), seed=None,
+              alt_specs=[dict(a1=1, a2=1, a3=1, nb=6, nc=3, nd=4),
+                         dict(a1=1, a2=1, a3=1, nb=8, nc=1, nd=4)]),
 }
 
 
@@ -398,25 +405,30 @@ def random_seed(spec, rng, n):
 
 
 def solve_rule(n, info, tries=400, seed0=0):
-    spec, p = info["spec"], info["p"]
-    assert n_points(spec) == n, (n, n_points(spec))
+    p = info["p"]
     monos = monomial_list(p)
     targets = np.array([exact_moment(*m) for m in monos])
     if info["seed"] is not None:
+        spec = info["spec"]
+        assert n_points(spec) == n, (n, n_points(spec))
         params, cost = solve(spec, monos, targets, info["seed"])
         if cost < 1e-24:
-            return params, cost
+            return spec, params, cost
         print(f"  n={n}: seeded solve cost={cost:.3e}; falling back")
     rng = np.random.default_rng(seed0)
-    best = (None, np.inf)
+    best = (None, None, np.inf)
+    specs = [info["spec"]] + info.get("alt_specs", [])
+    for spec in specs:
+        assert n_points(spec) == n, (n, n_points(spec))
     for t in range(tries):
+        spec = specs[t % len(specs)]
         p0 = random_seed(spec, rng, n)
         params, cost = solve(spec, monos, targets, p0, max_iter=120)
-        if cost < best[1]:
-            best = (params, cost)
+        if cost < best[2]:
+            best = (spec, params, cost)
         if cost < 1e-24:
-            print(f"  n={n}: converged on try {t}")
-            return params, cost
+            print(f"  n={n}: converged on try {t} with spec {spec}")
+            return spec, params, cost
     return best
 
 
@@ -426,14 +438,17 @@ def main():
     for n in only:
         info = RULES[n]
         print(f"solving N={n} (degree {info['p']}) ...", flush=True)
-        params, cost = solve_rule(n, info)
-        pts, wts = expand(info["spec"], params)
+        spec, params, cost = solve_rule(n, info)
+        if params is None:
+            print(f"  !! N={n} no solution found; skipping")
+            continue
+        pts, wts = expand(spec, params)
         err = verify_degree(pts, wts, info["p"])
         print(f"  cost={cost:.3e}  max Y_lm error={err:.3e}  sumw={wts.sum():.16f}")
         if err > 1e-12:
             print(f"  !! N={n} NOT verified; skipping")
             continue
-        results[n] = (info, params)
+        results[n] = (dict(p=info["p"], spec=spec), params)
     write_module(results)
 
 
