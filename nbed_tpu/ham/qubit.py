@@ -145,14 +145,18 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
     ann = [ladder(p, False) for p in range(n)]
 
     out = PauliSum(n)
-    out.add(complex(constant), 0, 0)
 
     if n > 63:
+        out.add(complex(constant), 0, 0)
         return _map_python(out, h1, h2, dag, ann, tol)
 
-    # per-mode string tables: [combo][mode] -> coeff/x/z
+    # per-mode string tables: [combo][mode] -> x/z masks. For both JW and BK
+    # the ladder *coefficients* are mode-independent scalars (JW: +-1/2;
+    # BK: +-i/2), so signs can be tracked as xor'd parity bits and the
+    # complex scale applied once per combo.
     def tables(ops):
-        cs = np.array([[t[k][0] for t in ops] for k in (0, 1)], dtype=complex)
+        cs = np.array([ops[0][k][0] for k in (0, 1)], dtype=complex)
+        assert all(t[k][0] == cs[k] for t in ops for k in (0, 1))
         xs = np.array([[t[k][1] for t in ops] for k in (0, 1)], dtype=np.int64)
         zs = np.array([[t[k][2] for t in ops] for k in (0, 1)], dtype=np.int64)
         return cs, xs, zs
@@ -167,19 +171,23 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
         t_count = len(coeffs)
         if t_count == 0:
             return
+        coeffs = np.asarray(coeffs, dtype=complex)
         n_f = len(modes)
         for combo in range(2 ** n_f):
-            cc = np.asarray(coeffs, dtype=complex).copy()
             x_acc = np.zeros(t_count, dtype=np.int64)
             z_acc = np.zeros(t_count, dtype=np.int64)
+            par = np.zeros(t_count, dtype=np.int64)
+            scal = 1.0 + 0.0j
             for f in range(n_f):
                 k = (combo >> f) & 1
-                tc, tx, tz = (dc, dx, dz) if flavors[f] else (ac, ax, az)
+                cS, tx, tz = (dc, dx, dz) if flavors[f] else (ac, ax, az)
                 m = modes[f]
-                sign = 1.0 - 2.0 * _parity64(z_acc & tx[k][m])
-                cc = cc * tc[k][m] * sign
+                par ^= _parity64(z_acc & tx[k][m])
+                scal *= complex(cS[k])
                 x_acc ^= tx[k][m]
                 z_acc ^= tz[k][m]
+            cc = coeffs * scal
+            np.negative(cc, out=cc, where=par.astype(bool))
             all_x.append(x_acc)
             all_z.append(z_acc)
             all_c.append(cc)
@@ -190,18 +198,39 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
     accumulate(h2[idx], idx, (True, True, False, False))
 
     if all_x:
-        x_cat = np.concatenate(all_x)
-        z_cat = np.concatenate(all_z)
         c_cat = np.concatenate(all_c)
-        order = np.lexsort((z_cat, x_cat))
-        xs_s, zs_s, cs_s = x_cat[order], z_cat[order], c_cat[order]
-        boundary = np.ones(len(xs_s), dtype=bool)
-        boundary[1:] = (xs_s[1:] != xs_s[:-1]) | (zs_s[1:] != zs_s[:-1])
-        starts = np.nonzero(boundary)[0]
-        sums = np.add.reduceat(cs_s, starts)
-        keep = np.abs(sums) > tol
-        for x, z, c in zip(xs_s[starts][keep], zs_s[starts][keep], sums[keep]):
-            out.add(complex(c), int(x), int(z))
+        if n <= 31:
+            # pack (x, z) into one int64 key: a single radix argsort beats
+            # lexsort + double gather on multi-million-string registers
+            keys = np.concatenate(
+                [(x << np.int64(32)) | z for x, z in zip(all_x, all_z)]
+            )
+            order = np.argsort(keys, kind="stable")
+            keys_s = keys[order]
+            cs_s = c_cat[order]
+            boundary = np.ones(len(keys_s), dtype=bool)
+            boundary[1:] = keys_s[1:] != keys_s[:-1]
+            starts = np.nonzero(boundary)[0]
+            sums = np.add.reduceat(cs_s, starts)
+            keep = np.abs(sums) > tol
+            kept = keys_s[starts][keep]
+            xs_u = (kept >> np.int64(32)).tolist()
+            zs_u = (kept & np.int64(0xFFFFFFFF)).tolist()
+        else:
+            x_cat = np.concatenate(all_x)
+            z_cat = np.concatenate(all_z)
+            order = np.lexsort((z_cat, x_cat))
+            xs_s, zs_s, cs_s = x_cat[order], z_cat[order], c_cat[order]
+            boundary = np.ones(len(xs_s), dtype=bool)
+            boundary[1:] = (xs_s[1:] != xs_s[:-1]) | (zs_s[1:] != zs_s[:-1])
+            starts = np.nonzero(boundary)[0]
+            sums = np.add.reduceat(cs_s, starts)
+            keep = np.abs(sums) > tol
+            xs_u = xs_s[starts][keep].tolist()
+            zs_u = zs_s[starts][keep].tolist()
+        # bulk dict build (C-speed); the constant is summed in afterwards
+        out.terms.update(zip(zip(xs_u, zs_u), sums[keep].tolist()))
+    out.add(complex(constant), 0, 0)
     return out.compress(tol)
 
 

@@ -49,6 +49,34 @@ def test_f32_warmup_matches_plain(water_molecule, water_uhf, water_uks):
     assert np.isclose(warm_ks.e_tot, water_uks.e_tot, atol=1e-7)
 
 
+def test_incremental_jk_matches_f64(water_molecule, water_uhf, water_uks):
+    """Incremental mixed-precision SCF (f32 J/K of the density change +
+    periodic f64 rebase) reproduces the all-f64 fixed points to 1e-8 —
+    the TPU hot path where emulated-f64 GEMMs run only 1/rebase_every of
+    the cycles."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    inc_hf = SCFEngine(water_molecule, conv_tol=1e-10, dm_conv_tol=1e-8,
+                       max_cycle=100, incremental_jk="on").kernel()
+    assert np.isclose(inc_hf.e_tot, water_uhf.e_tot, atol=1e-8)
+    inc_ks = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9,
+                       max_cycle=100, incremental_jk="on").kernel()
+    assert np.isclose(inc_ks.e_tot, water_uks.e_tot, atol=1e-7)
+
+
+def test_incremental_jk_df_matches(water_molecule):
+    """Incremental f32 path composes with density fitting (signed
+    eigen-decomposition handles non-PSD delta densities in DF-K)."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    plain = SCFEngine(water_molecule, conv_tol=1e-10, dm_conv_tol=1e-8,
+                      max_cycle=100, density_fitting=True).kernel()
+    inc = SCFEngine(water_molecule, conv_tol=1e-10, dm_conv_tol=1e-8,
+                    max_cycle=100, density_fitting=True,
+                    incremental_jk="on").kernel()
+    assert np.isclose(inc.e_tot, plain.e_tot, atol=1e-8)
+
+
 def test_restricted_dm_is_total(water_rhf):
     dm = water_rhf.make_rdm1()
     assert dm.ndim == 2
