@@ -309,6 +309,17 @@ class SCFEngine:
         return jk
 
     @cached_property
+    def _xc_fast_fn(self):
+        """f32 XC closure for coarse SCF iterations (None when the
+        incremental path is off or the method has no XC)."""
+        if self._jk_fast_fn is None or self._xc[0] is None:
+            return None
+        if self.density_fitting:
+            # _f32_ops would materialise the exact O(N^4) ERI supermatrices
+            return self._build_xc(jnp.float32)
+        return self._f32_ops["xc_fn"]
+
+    @cached_property
     def _df_b(self):
         """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP.
 
@@ -446,6 +457,7 @@ class SCFEngine:
             eri_k=None if self.density_fitting else self.eri_k,
             jk_fn=self._df_jk if self.density_fitting else None,
             jk_fn_fast=self._jk_fast_fn,
+            xc_fn_fast=self._xc_fast_fn,
             rebase_every=self.rebase_every,
             nelec=nelec,
             v_emb=None if v_emb is None else jnp.asarray(v_emb),

@@ -72,6 +72,8 @@ def run_scf(
     jk_fn: Optional[Callable] = None,  # dm (2,n,n) -> (j (n,n), k (2,n,n))
     jk_fn_fast: Optional[Callable] = None,  # f32 J/K for incremental builds
     rebase_every: int = 8,  # full-precision Fock rebuild period (incremental)
+    xc_fn_fast: Optional[Callable] = None,  # f32 XC for coarse iterations
+    xc_switch_tol: float = 1e-4,  # |dDM| below which in-loop XC goes f64
     nelec,  # (n_alpha, n_beta) — static
     v_emb=None,  # (2, n, n) embedding potential added to hcore
     xc_fn: Optional[Callable] = None,  # dm -> (exc, vxc (2,n,n))
@@ -102,6 +104,12 @@ def run_scf(
     the accumulated drift — converged energies agree with the all-f64 path
     to ~1e-9 Ha while paying emulated-f64 GEMM cost only 1/rebase_every of
     the time.
+
+    ``xc_fn_fast`` likewise moves the XC quadrature of *coarse* iterations
+    (density change above ``xc_switch_tol``) to f32; once the density
+    settles, a ``lax.cond`` switches the same compiled loop to the f64
+    ``xc_fn`` so the convergence test is not floored by f32 XC noise
+    (~5e-7 on the exchange-correlation energy).
     """
     n = s.shape[-1]
     if hcore.ndim == 2:
@@ -137,11 +145,12 @@ def run_scf(
             k = (eri_k @ dm.reshape(2, n * n).T).T.reshape(2, n, n)
             return j, k
 
-    def assemble_fock(dm, j, k):
+    def assemble_fock(dm, j, k, xc_eval=None):
         """(F incl. huz, huz, e_elec) from a density and its J/K pair."""
         vhf = j[None] - hyb * k
-        if xc_fn is not None:
-            exc, vxc = xc_fn(dm)
+        xc = xc_fn if xc_eval is None else xc_eval
+        if xc is not None:
+            exc, vxc = xc(dm)
             vhf = vhf + vxc
         else:
             exc = 0.0
@@ -157,10 +166,10 @@ def run_scf(
         ex_hf = -0.5 * hyb * jnp.einsum("sij,sji->", k, dm)
         return f, huz, e1 + ecoul + ex_hf + exc
 
-    def fock_and_energy(dm):
-        """One full-precision J/K (+XC) build -> (F, huz, e_elec of dm)."""
+    def fock_and_energy(dm, xc_eval=None):
+        """One J/K (+XC) build -> (F, huz, e_elec of dm)."""
         j, k = get_jk(dm)
-        return assemble_fock(dm, j, k)
+        return assemble_fock(dm, j, k, xc_eval=xc_eval)
 
     def eig_fock(f):
         f_ortho = jnp.einsum("pi,spq,qj->sij", x, f, x)
@@ -198,9 +207,23 @@ def run_scf(
         )
 
     use_inc = jk_fn_fast is not None
+    use_xc_fast = xc_fn_fast is not None and xc_fn is not None
 
     def step(carry):
         dm = carry["dm"]
+        if use_xc_fast:
+            def xc_eval(d):
+                return jax.lax.cond(
+                    carry["ddm"] > xc_switch_tol,
+                    lambda dd: tuple(
+                        o.astype(dd.dtype)
+                        for o in xc_fn_fast(dd.astype(jnp.float32))
+                    ),
+                    xc_fn,
+                    d,
+                )
+        else:
+            xc_eval = None
         if use_inc:
             # incremental J/K: f32 contraction of the density change,
             # accumulated onto the f64 reference; periodic f64 rebase
@@ -211,9 +234,9 @@ def run_scf(
             j, k = jax.lax.cond(
                 do_rebase, get_jk, lambda _: (j_inc, k_inc), dm
             )
-            f, huz, e_cur = assemble_fock(dm, j, k)
+            f, huz, e_cur = assemble_fock(dm, j, k, xc_eval=xc_eval)
         else:
-            f, huz, e_cur = fock_and_energy(dm)
+            f, huz, e_cur = fock_and_energy(dm, xc_eval=xc_eval)
         # DIIS error: X^T (FDS - SDF) X per spin
         fds = jnp.einsum("sij,sjk,kl->sil", f, dm, s)
         err = jnp.einsum("pi,spq,qj->sij", x, fds - jnp.swapaxes(fds, -1, -2), x)
@@ -234,7 +257,7 @@ def run_scf(
         out = {
             "cycle": carry["cycle"] + 1, "dm": dm_new, "e": e_cur, "conv": conv,
             "hist_f": hist_f, "hist_e": hist_e, "nfill": nfill,
-            "c": c, "mo_e": mo_e,
+            "c": c, "mo_e": mo_e, "ddm": ddm,
         }
         if use_inc:
             out.update(dm_ref=dm, j_ref=j, k_ref=k)
@@ -247,6 +270,7 @@ def run_scf(
         "hist_f": jnp.zeros((m, 2, n, n), dt), "hist_e": jnp.zeros((m, 2, n, n), dt),
         "nfill": jnp.array(0),
         "c": jnp.zeros((2, n, n), dt), "mo_e": jnp.zeros((2, n), dt),
+        "ddm": jnp.array(jnp.inf, dt),
     }
     if use_inc:
         # cycle 0 hits the rebase branch, so the zero reference is never used

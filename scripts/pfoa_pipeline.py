@@ -17,7 +17,7 @@ import resource
 import sys
 import time
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["PALLAS_AXON_REMOTE_COMPILE"] = "0"
 os.environ.setdefault(
     "NBED_TPU_JAX_CACHE", os.path.expanduser("~/.cache/nbed_tpu_jax_cpu")
