@@ -252,9 +252,18 @@ class NbedDriver:
         return (len(inds[0]), len(inds[1]))
 
     def _mu_embed(self, engine: SCFEngine, embedding_potential) -> tuple:
-        """mu-shift embedding (reference driver.py:500-538)."""
+        """mu-shift embedding (reference driver.py:500-538).
+
+        The embedded SCF is seeded from the localized active density — the
+        analogue of the reference's PySCF default ('minao'-family) guess;
+        the bare hcore+v_emb guess diverges at ~100+ AOs under the
+        mu-shifted projector.
+        """
         v_emb = self.config.mu_level_shift * self._env_projector + embedding_potential
-        sol = engine.kernel(nelec=self._active_nelec(), v_emb=v_emb)
+        sol = engine.kernel(
+            nelec=self._active_nelec(), v_emb=v_emb,
+            dm0=self.localized_system.dm_active,
+        )
         logger.info(
             "Embedded scf energy MU_SHIFT: %s, converged: %s",
             sol.e_tot, sol.converged,
@@ -272,6 +281,11 @@ class NbedDriver:
         else:
             dm_env_virt = None
 
+        if dmat_initial_guess is None:
+            # seed from the localized active density (the reference's
+            # huzinaga loop would build a diag(heff) guess, which diverges
+            # at ~100+ AOs; the fixed point is unchanged)
+            dmat_initial_guess = localized_system.dm_active
         sol = engine.kernel(
             nelec=self._active_nelec(),
             v_emb=embedding_potential,
