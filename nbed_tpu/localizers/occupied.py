@@ -121,8 +121,12 @@ class SPADELocalizer(OccupiedLocalizer):
         occupied = c_matrix[:, :n_occ]
         n_act_aos = self._n_act_aos
         rotated = _s_half(self._ao_overlap) @ occupied
-        # SVD of the active-AO rows on device (batched in future shell loops)
-        _, sigma, vt = np.linalg.svd(rotated[:n_act_aos, :], full_matrices=False)
+        # SVD of the active-AO rows. full_matrices=True is essential: when
+        # n_act_aos < n_occ the environment span lives in the orthogonal
+        # complement of the right-singular space, which a thin SVD drops —
+        # the thin form silently truncated c_enviro to n_act_aos - n_act_mos
+        # columns on molecules larger than the active fragment (pfoa).
+        _, sigma, vt = np.linalg.svd(rotated[:n_act_aos, :], full_matrices=True)
 
         if len(sigma) == 1:
             n_act_mos = 1

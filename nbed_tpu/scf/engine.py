@@ -416,6 +416,7 @@ class SCFEngine:
         conv_tol=None,
         dm_conv_tol=None,
         max_cycle=None,
+        level_shift=0.0,
     ) -> "SCFSolution":
         """Run SCF; all embedding terms are explicit arguments."""
         nelec = self.mol.nelec if nelec is None else nelec
@@ -469,6 +470,7 @@ class SCFEngine:
             conv_tol=self.conv_tol if conv_tol is None else conv_tol,
             dm_conv_tol=self.dm_conv_tol if dm_conv_tol is None else dm_conv_tol,
             max_cycle=self.max_cycle if max_cycle is None else max_cycle,
+            level_shift=level_shift,
         )
         e_tot = float(res.e_elec) + self.energy_nuc()
         if not bool(res.converged):

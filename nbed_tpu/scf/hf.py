@@ -86,6 +86,7 @@ def run_scf(
     max_cycle: int = 50,
     diis_space: int = 8,
     use_diis: bool = True,
+    level_shift: float = 0.0,  # virtual-orbital level shift (Ha)
 ) -> SCFResult:
     """Run SCF to convergence and return an :class:`SCFResult`.
 
@@ -249,6 +250,12 @@ def run_scf(
             f_use = jnp.where(carry["cycle"] > 0, f_diis, f)
         else:
             f_use = f
+        if level_shift:
+            # F' = F + lambda (S - S D_s S): shifts only virtual eigenvalues
+            # (S D_s S C_occ = S C_occ for the occupied span), damping
+            # occupied<->virtual oscillation without moving the fixed point
+            sds = jnp.einsum("ij,sjk,kl->sil", s, dm, s)
+            f_use = f_use + level_shift * (s[None] - sds)
         mo_e, c = eig_fock(f_use)
         dm_new = make_rdm1(c, occ)
         de = jnp.abs(e_cur - carry["e"])

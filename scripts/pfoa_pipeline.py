@@ -34,8 +34,8 @@ XYZ = Path(__file__).resolve().parent.parent / "tests" / "molecules" / "pfoa.xyz
 
 def main():
     t0 = time.perf_counter()
-    # active region: the carboxyl head group (COOH = atoms C1, O, O, H in
-    # the ordered geometry) — the chemically active end of the surfactant
+    # active region: the first 4 atoms of the reference geometry (a CF3-end
+    # fragment) — the choice is arbitrary for this scale/robustness check
     driver = nbed(
         geometry=str(XYZ),
         n_active_atoms=4,

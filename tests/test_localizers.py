@@ -38,6 +38,31 @@ def global_uks(water631g):
     return SCFEngine(water631g, xc="b3lyp", conv_tol=1e-9, max_cycle=100).kernel()
 
 
+def test_spade_env_span_complete_when_fragment_small():
+    """When n_active_aos < n_occ the environment span lives in the
+    orthogonal complement of the thin SVD's right-singular space; a
+    full_matrices=False SVD silently truncated c_enviro (found on pfoa:
+    tr(D_env S) was 7 instead of 87). Acetonitrile with a 1-atom fragment
+    (5 active AOs, 11 occupied) exercises the regime."""
+    from pathlib import Path
+
+    xyz = (Path(__file__).parent / "molecules" / "acetonitrile.xyz").read_text()
+    mol = build_molecule(xyz, "sto-3g")
+    sol = SCFEngine(mol, conv_tol=1e-8, max_cycle=100).kernel()
+    loc = SPADELocalizer(sol, 1).localize()
+    n_occ = mol.nelec[0]
+    assert loc.c_loc_occ.shape[-1] == n_occ
+    s = np.asarray(sol.engine.s)
+    n_act = loc.c_active.shape[-1]
+    assert loc.c_enviro.shape[-1] == n_occ - n_act
+    # env orbitals are orthonormal and the partition preserves the density
+    g = loc.c_enviro[0].T @ s @ loc.c_enviro[0]
+    assert np.allclose(g, np.eye(n_occ - n_act), atol=1e-8)
+    dm_tot = loc.dm_active + loc.dm_enviro
+    dm_ref = sol.make_rdm1()
+    assert np.allclose(dm_tot, dm_ref, atol=1e-8)
+
+
 def test_base_localizer_is_abstract(global_rks):
     with pytest.raises(TypeError):
         OccupiedLocalizer(global_rks, N_ACTIVE)
