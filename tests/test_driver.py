@@ -191,6 +191,27 @@ def test_driver_standard_xyz_string_input(spinless_driver):
     )
 
 
+def test_ccpvdz_pipeline_end_to_end(water_xyz):
+    """Full pipeline on a d-function basis (cc-pVDZ water): the global KS,
+    the embedded SCF and CCSD all converge, and the subsystem-DFT
+    partition identity holds exactly. B3LYP/cc-pVDZ water sits near
+    -76.42 Ha; the identity is basis-independent."""
+    from nbed_tpu import nbed
+
+    driver = nbed(geometry=water_xyz, n_active_atoms=1, basis="cc-pVDZ",
+                  xc_functional="b3lyp", projector="mu",
+                  localization="spade", run_ccsd_emb=True,
+                  run_fci_emb=False)
+    gks = driver._global_ks
+    assert gks.converged
+    assert -76.5 < gks.e_tot < -76.3
+    assert driver.mu["scf"].converged
+    assert -76.5 < driver.mu["e_ccsd"] < -75.9  # measured -76.2277
+    total = (driver.e_act + driver.e_env + driver.two_e_cross
+             + driver._ks_engine.energy_nuc())
+    assert np.isclose(total, gks.e_tot, atol=1e-10)
+
+
 def test_subsystem_dft_partition(spinless_driver):
     """e_act + e_env + two_e_cross + e_nuc == global KS e_tot (exact
     identity, reference tests/test_driver.py:200-224)."""
