@@ -33,6 +33,7 @@ XYZ = Path(__file__).resolve().parent.parent / "tests" / "molecules" / "pfoa.xyz
 
 
 def main():
+    projector = sys.argv[1] if len(sys.argv) > 1 else "mu"
     t0 = time.perf_counter()
     # active region: the first 4 atoms of the reference geometry (a CF3-end
     # fragment) — the choice is arbitrary for this scale/robustness check
@@ -41,7 +42,7 @@ def main():
         n_active_atoms=4,
         basis="STO-3G",
         xc_functional="b3lyp",
-        projector="mu",
+        projector=projector,
         localization="spade",
         convergence=1e-6,
         run_ccsd_emb=False,
@@ -49,7 +50,7 @@ def main():
     )
     wall = time.perf_counter() - t0
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
-    res = driver.mu
+    res = driver.mu if projector == "mu" else driver.huzinaga
     const, h1, h2 = res["second_quantised"]
     print(f"pipeline wall: {wall:.1f} s, peak RSS: {peak_gb:.2f} GB")
     print(f"global KS e_tot: {driver._global_ks.e_tot:.8f} Ha "

@@ -95,6 +95,34 @@ H\t-1.2472\t0.8979\t0.881
 H\t-1.2471\t0.898\t-0.8809
 """
 
+ETHANAMINE = """10
+
+H\t1.1926\t-0.9044\t0.8134
+H\t1.1926\t-0.9044\t-0.8134
+N\t1.2133\t-0.2902\t0
+C\t0.0295\t0.5602\t0
+H\t0.0512\t1.2078\t0.8824
+H\t0.0511\t1.2078\t-0.8825
+C\t-1.2428\t-0.27\t0
+H\t-1.2991\t-0.9094\t-0.8874
+H\t-1.2991\t-0.9093\t0.8875
+H\t-2.1202\t0.3846\t0
+"""
+
+N_METHYLMETHANAMINE = """10
+
+N\t0.0001\t-0.5504\t0
+H\t0\t-1.1423\t0.8302
+C\t-1.2001\t0.2752\t0
+C\t1.2001\t0.2752\t0
+H\t-1.2506\t0.9105\t0.8903
+H\t-2.0853\t-0.3685\t-0.0051
+H\t-1.2467\t0.906\t-0.8936
+H\t2.0853\t-0.3682\t-0.005
+H\t1.2506\t0.9106\t0.8903
+H\t1.2467\t0.906\t-0.8937
+"""
+
 # (name, geometry, n_active_atoms, published full->emb qubits, terms)
 CASES = [
     ("acetonitrile", ACETONITRILE, 2, (36, 28), (136_075, 50_607)),
@@ -102,11 +130,17 @@ CASES = [
     ("acetaldehyde", ACETALDEHYDE, 3, (38, 30), (182_702, 71_218)),
     ("ethanol", ETHANOL, 2, (42, 26), (283_020, 41_044)),
     ("fluoroethane", FLUOROETHANE, 2, (40, 32), (217_385, 89_953)),
+    ("ethanamine", ETHANAMINE, 3, (44, 28), (329_299, 49_707)),
+    ("N-methylmethanamine", N_METHYLMETHANAMINE, 2, (44, 28),
+     (338_967, 52_207)),
 ]
 
 
 def main():
+    only = set(sys.argv[1:])
     for name, xyz, n_active, pub_qubits, pub_terms in CASES:
+        if only and name not in only:
+            continue
         # full system (notebook: HamiltonianBuilder on the global HF)
         mol = build_molecule(xyz, "sto-3g")
         sol = SCFEngine(mol, conv_tol=1e-8, max_cycle=500).kernel()
