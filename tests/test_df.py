@@ -56,4 +56,5 @@ def test_df_b3lyp_energy(water_molecule, water_uks):
     df = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9, max_cycle=100,
                    density_fitting=True).kernel()
     assert df.converged
-    assert abs(df.e_tot - water_uks.e_tot) < 2e-4
+    # measured 5.3e-6 with the default auto-aux
+    assert abs(df.e_tot - water_uks.e_tot) < 2e-5
