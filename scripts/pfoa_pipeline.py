@@ -45,7 +45,7 @@ def main():
         projector=projector,
         localization="spade",
         convergence=1e-6,
-        run_ccsd_emb=False,
+        run_ccsd_emb=bool(os.environ.get("NBED_PFOA_CCSD")),
         run_fci_emb=False,
     )
     wall = time.perf_counter() - t0
@@ -58,6 +58,8 @@ def main():
     print(f"embedded SCF e_tot: {res['scf'].e_tot:.8f} Ha "
           f"(converged={res['scf'].converged})")
     print(f"classical energy: {res['classical_energy']:.8f} Ha")
+    if res.get("e_ccsd") is not None:
+        print(f"embedded CCSD: {res['e_ccsd']:.8f} Ha")
     print(f"qubit Hamiltonian: {h1.shape[0]} spin orbitals "
           f"(full system would be {2 * driver._global_ks.mol.nao})")
     for k, v in getattr(driver, "timings", {}).items():
