@@ -264,6 +264,18 @@ class NbedDriver:
             nelec=self._active_nelec(), v_emb=v_emb,
             dm0=self.localized_system.dm_active,
         )
+        if not sol.converged:
+            # one retry with a virtual level shift (the reference only
+            # warns and continues, driver.py:188-189; the shift damps
+            # occupied<->virtual oscillation without moving the fixed point)
+            logger.warning(
+                "mu-embedded SCF did not converge; retrying with a 0.25 Ha "
+                "virtual level shift."
+            )
+            sol = engine.kernel(
+                nelec=self._active_nelec(), v_emb=v_emb,
+                dm0=self.localized_system.dm_active, level_shift=0.25,
+            )
         logger.info(
             "Embedded scf energy MU_SHIFT: %s, converged: %s",
             sol.e_tot, sol.converged,
@@ -293,6 +305,19 @@ class NbedDriver:
             dm_env_virt=dm_env_virt,
             dm0=dmat_initial_guess,
         )
+        if not sol.converged:
+            logger.warning(
+                "Huzinaga embedded SCF did not converge; retrying with a "
+                "0.25 Ha virtual level shift."
+            )
+            sol = engine.kernel(
+                nelec=self._active_nelec(),
+                v_emb=embedding_potential,
+                dm_env_occ=localized_system.dm_enviro,
+                dm_env_virt=dm_env_virt,
+                dm0=dmat_initial_guess,
+                level_shift=0.25,
+            )
         # Freeze the converged Huzinaga operator into the effective core
         # Hamiltonian, as the reference writes back to the PySCF object
         # (driver.py:595-597).
