@@ -36,3 +36,16 @@ def test_pallas_warmup_scf_matches_f64(water_molecule):
                     warmup_f32=True, pallas_jk="on").kernel()
     assert pal.converged
     assert abs(pal.e_tot - ref.e_tot) < 1e-8
+
+
+def test_incremental_pallas_scf_matches_f64(water_molecule):
+    """Incremental mixed-precision SCF with the Pallas kernel as the fast
+    J/K path — the exact composition the TPU auto-defaults select — lands
+    on the all-f64 fixed point."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    ref = SCFEngine(water_molecule, conv_tol=1e-10, max_cycle=100).kernel()
+    inc = SCFEngine(water_molecule, conv_tol=1e-10, max_cycle=100,
+                    incremental_jk="on", pallas_jk="on").kernel()
+    assert inc.converged
+    assert abs(inc.e_tot - ref.e_tot) < 1e-8
