@@ -295,6 +295,8 @@ def main():
         n_terms, terms_per_s = bench_jw(details)
         out["jw_terms"] = int(n_terms)
         out["jw_terms_per_s"] = round(terms_per_s, 1)
+        if "jw28_terms_per_s" in details:
+            out["jw28_terms_per_s"] = details["jw28_terms_per_s"]
     except _Timeout:
         details["jw_error"] = "timeout (300s)"
     except Exception as exc:
