@@ -224,10 +224,10 @@ class NbedDriver:
         e_act, veff_act, j_act = components(dm_act)
         e_env, veff_env, j_env = components(dm_env)
 
-        total_dm = dm_act + dm_env
-        if dm_act.ndim == 3:
-            total_dm = total_dm[0] + total_dm[1]
-        veff_total = engine.get_veff(total_dm)
+        # keep the total density SPIN-RESOLVED: spin-summing it here would
+        # evaluate XC at the spin-averaged density, which is wrong for
+        # open-shell systems (alpha != beta)
+        veff_total = engine.get_veff(dm_act + dm_env)
         e_xc_total = float(veff_total.exc)
 
         if dm_act.ndim == 2:
@@ -247,6 +247,8 @@ class NbedDriver:
     # ------------------------------------------------------------ embedding
     def _active_nelec(self) -> tuple:
         inds = self.localized_system.active_mo_inds
+        if inds.dtype == object:  # ragged per-spin counts (open shell)
+            return (len(inds[0]), len(inds[1]))
         if inds.ndim == 1:
             return (len(inds), len(inds))
         return (len(inds[0]), len(inds[1]))
@@ -340,10 +342,17 @@ class NbedDriver:
             )
         else:
             inds = localized_system.enviro_mo_inds
-            n_env_mos = len(set(inds[0].tolist()) | set(inds[1].tolist()))
+            if inds.dtype == object:
+                # open shell: per-spin environment sizes differ
+                n_env = (len(inds[0]), len(inds[1]))
+            else:
+                # reference semantics: union of the spin index sets
+                # (reference driver.py:671-676)
+                u = len(set(inds[0].tolist()) | set(inds[1].tolist()))
+                n_env = (u, u)
             parts = [
                 _delete_spin_environment(
-                    projector, n_env_mos, sol.mo_coeff[s], sol.mo_energy[s],
+                    projector, n_env[s], sol.mo_coeff[s], sol.mo_energy[s],
                     sol.mo_occ[s], env_projector[s],
                 )
                 for s in (0, 1)

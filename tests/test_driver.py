@@ -191,6 +191,33 @@ def test_driver_standard_xyz_string_input(spinless_driver):
     )
 
 
+def test_open_shell_pipeline_end_to_end():
+    """Spin-resolved embed() on the methyl radical (doublet, 5a/4b
+    electrons, C active): per-spin SPADE partitions, unequal alpha/beta
+    active counts, embedded FCI in the odd-electron sector, and the
+    subsystem-DFT partition identity (the reference's unrestricted-driver
+    fixtures, conftest.py:104-147, cover this regime)."""
+    from pathlib import Path
+
+    from nbed_tpu import nbed
+
+    xyz = (Path(__file__).parent / "molecules" / "methyl_radical.xyz")
+    driver = nbed(geometry=str(xyz), n_active_atoms=1, basis="STO-3G",
+                  xc_functional="b3lyp", projector="mu",
+                  localization="spade", spin=1, run_ccsd_emb=False,
+                  run_fci_emb=True)
+    gks = driver._global_ks
+    assert gks.converged
+    assert -38.5 < gks.e_tot < -37.5  # measured -37.9424 (B3LYP/STO-3G)
+    assert driver.mu["scf"].converged
+    na, nb = driver.mu["scf"].nelec
+    assert na == nb + 1  # doublet propagated into the embedded system
+    assert driver.mu["e_fci"] < driver.mu["scf"].e_tot
+    total = (driver.e_act + driver.e_env + driver.two_e_cross
+             + driver._ks_engine.energy_nuc())
+    assert np.isclose(total, gks.e_tot, atol=1e-10)
+
+
 def test_ccpvdz_pipeline_end_to_end(water_xyz):
     """Full pipeline on a d-function basis (cc-pVDZ water): the global KS,
     the embedded SCF and CCSD all converge, and the subsystem-DFT
