@@ -22,6 +22,7 @@ Run:  python scripts/gen_lebedev.py
 """
 
 import math
+import os
 import sys
 from pathlib import Path
 
@@ -404,7 +405,9 @@ def random_seed(spec, rng, n):
     return p
 
 
-def solve_rule(n, info, tries=400, seed0=0):
+def solve_rule(n, info, tries=None, seed0=0):
+    if tries is None:
+        tries = int(os.environ.get("LEBEDEV_TRIES", 400))
     p = info["p"]
     monos = monomial_list(p)
     targets = np.array([exact_moment(*m) for m in monos])
