@@ -217,6 +217,15 @@ def test_open_shell_pipeline_end_to_end():
              + driver._ks_engine.energy_nuc())
     assert np.isclose(total, gks.e_tot, atol=1e-10)
 
+    # the Huzinaga projector lands on the same embedded FCI energy
+    # (measured: mu -37.56839186, huz -37.56838720)
+    huz = nbed(geometry=str(xyz), n_active_atoms=1, basis="STO-3G",
+               xc_functional="b3lyp", projector="huzinaga",
+               localization="spade", spin=1, run_ccsd_emb=False,
+               run_fci_emb=True)
+    assert huz.huzinaga["scf"].converged
+    assert abs(huz.huzinaga["e_fci"] - driver.mu["e_fci"]) < 1e-4
+
 
 def test_ccpvdz_pipeline_end_to_end(water_xyz):
     """Full pipeline on a d-function basis (cc-pVDZ water): the global KS,
