@@ -405,6 +405,52 @@ def random_seed(spec, rng, n):
     return p
 
 
+def _weight_slots(spec):
+    """Indices of the weight entries in the flat param vector, in orbit
+    order (one per orbit)."""
+    slots = []
+    i = 0
+    for key in ("a1", "a2", "a3"):
+        if spec.get(key):
+            slots.append(i)
+            i += 1
+    for _ in range(spec.get("nb", 0)):
+        slots.append(i + 1)
+        i += 2
+    for _ in range(spec.get("nc", 0)):
+        slots.append(i + 1)
+        i += 2
+    for _ in range(spec.get("nd", 0)):
+        slots.append(i + 2)
+        i += 3
+    return slots
+
+
+def linear_weight_seed(spec, params, monos, targets):
+    """Weights enter the moment system linearly: given the seed's node
+    positions, replace its random weights with the least-squares solution,
+    which puts the Gauss-Newton start in a far larger basin."""
+    params = np.array(params, dtype=np.float64)
+    slots = _weight_slots(spec)
+    probe = params.copy()
+    cols = []
+    for k, sl in enumerate(slots):
+        for j, s2 in enumerate(slots):
+            probe[s2] = 1.0 if j == k else 0.0
+        pts, wts = expand(spec, probe)
+        x2 = pts ** 2
+        col = np.array([
+            np.sum(wts * x2[:, 0] ** a * x2[:, 1] ** b * x2[:, 2] ** c)
+            for (a, b, c) in monos
+        ])
+        cols.append(col)
+    m = np.stack(cols, axis=1)
+    w, *_ = np.linalg.lstsq(m, targets, rcond=None)
+    for sl, wk in zip(slots, w):
+        params[sl] = wk
+    return params
+
+
 def solve_rule(n, info, tries=None, seed0=0):
     if tries is None:
         tries = int(os.environ.get("LEBEDEV_TRIES", 400))
@@ -425,7 +471,7 @@ def solve_rule(n, info, tries=None, seed0=0):
         assert n_points(spec) == n, (n, n_points(spec))
     for t in range(tries):
         spec = specs[t % len(specs)]
-        p0 = random_seed(spec, rng, n)
+        p0 = linear_weight_seed(spec, random_seed(spec, rng, n), monos, targets)
         params, cost = solve(spec, monos, targets, p0, max_iter=120)
         if cost < best[2]:
             best = (spec, params, cost)
