@@ -53,7 +53,54 @@ def _scale(fit, zeta):
     return [(a * z2, c) for a, c in fit]
 
 
+# ---------------------------------------------------------------- second row
+# Na-Ar tables verified against the STO-3G generating rule by
+# scripts/gen_sto3g_row2.py: every exponent below either matches the
+# recovered universal fit x zeta**2 factorisation to ~1e-10 relative
+# ("verbatim" -- the distributed EMSL/BSE value) or is regenerated from the
+# rule after an entry pinned the element's zeta to the published 2-decimal
+# grid at ~1e-11 (Al/Si 2sp entries 2-3, P 1s entry 3).  Na and Mg are
+# deliberately absent: their 3sp rows could not be verified, and shipping
+# unverified basis data is worse than none (use a BSE JSON file for them).
+# zeta (1s, 2sp, 3sp): Al (12.56, 4.36, 1.70)  Si (13.53, 4.83, 1.75)
+#                      P  (14.50, 5.31, 1.90)  S  (15.47, 5.79, 2.05)
+#                      Cl (16.43, 6.26, 2.10)  Ar (17.40, 6.74, 2.33)
+_SP3_S_COEF = (-0.2196203690, 0.2255954336, 0.9003984260)
+_SP3_P_COEF = (0.01058760429, 0.5951670053, 0.4620010120)
+
+_PUBLISHED_ROW2 = {
+    "Al": ((351.4214767, 64.01186067, 17.32410761),
+           (18.89939621, 4.39181323, 1.42835397),
+           (1.395448293, 0.3893265318, 0.1523797659)),
+    "Si": ((407.7975514, 74.28083305, 20.10329229),
+           (23.19365606, 5.38970687, 1.75289995),
+           (1.478740622, 0.4125648801, 0.1614750979)),
+    "P": ((468.3656378, 85.31338559, 23.08913160),
+          (28.03263958, 6.514182577, 2.118614352),
+          (1.743103231, 0.4863213771, 0.1903428909)),
+    "S": ((533.1257359, 97.10951830, 26.28162542),
+          (33.32975173, 7.745117521, 2.518952599),
+          (2.029194274, 0.5661400518, 0.2215833792)),
+    "Cl": ((601.3456136, 109.5358542, 29.64467686),
+           (38.96041889, 9.053563477, 2.944499834),
+           (2.129386495, 0.5940934274, 0.2325241410)),
+    "Ar": ((674.4465184, 122.8512753, 33.24834945),
+           (45.16424392, 10.49519900, 3.413364448),
+           (2.621366518, 0.7313546050, 0.2862472356)),
+}
+
+
 def _element(sym):
+    row2 = _PUBLISHED_ROW2.get(sym)
+    if row2 is not None:
+        exps_1s, exps_2sp, exps_3sp = row2
+        return [
+            (0, list(zip(exps_1s, _S_COEF))),
+            (0, list(zip(exps_2sp, _SP_S_COEF))),
+            (1, list(zip(exps_2sp, _SP_P_COEF))),
+            (0, list(zip(exps_3sp, _SP3_S_COEF))),
+            (1, list(zip(exps_3sp, _SP3_P_COEF))),
+        ]
     published = _PUBLISHED_EXPS.get(sym)
     zetas = _ZETA[sym]
     if published is not None:
@@ -70,4 +117,4 @@ def _element(sym):
     return shells
 
 
-STO3G = {sym: _element(sym) for sym in _ZETA}
+STO3G = {sym: _element(sym) for sym in list(_ZETA) + list(_PUBLISHED_ROW2)}

@@ -114,9 +114,10 @@ _ANG_DEGREE_TABLE = (
 )
 _DEGREE_TO_N = {3: 6, 5: 14, 7: 26, 9: 38, 11: 50, 13: 74, 15: 86, 17: 110,
                 19: 146, 21: 170, 23: 194, 25: 230, 27: 266, 29: 302,
-                31: 350, 35: 434}
+                31: 350, 35: 434, 41: 590}
 # rule sequence used by the NWChem prune index arithmetic
-_NWCHEM_SEQ = (38, 50, 74, 86, 110, 146, 170, 194, 230, 266, 302, 350, 434)
+_NWCHEM_SEQ = (38, 50, 74, 86, 110, 146, 170, 194, 230, 266, 302, 350, 434,
+               590)
 
 
 def _period(z: int) -> int:

@@ -362,15 +362,69 @@ RULES = {
                     0.003571540554273387,
                     0.1233548532583327, 0.4127724083168531,
                     0.003392312205006170]),
-    # For the unseeded rules the point-count + parameter-count identities
-    # leave a few candidate (nb, nc) splits; multistart tries each.
-    350: dict(p=31, spec=dict(a1=1, a3=1, nb=6, nc=2, nd=3), seed=None,
+    # Seeds below are *approximate* recollections of the published
+    # Lebedev-Laikov parameters (public numerical constants).  They only
+    # need to land in the Gauss-Newton basin: correctness is established
+    # solely by the moment-equation solve converging (cost < 1e-24) and the
+    # independent Y_lm verification to <1e-12 — a wrong seed digit either
+    # gets polished away or the rule is rejected, never silently shipped.
+    350: dict(p=31, spec=dict(a1=1, a3=1, nb=6, nc=2, nd=3),
+              seed=[0.3006796749453936e-2,
+                    0.3050627745650771e-2,
+                    0.7068965463912316, 0.1621104600288991e-2,
+                    0.4794682625712025, 0.3005701484901752e-2,
+                    0.1927533154878019, 0.2990992529653774e-2,
+                    0.6930357961327123, 0.2982170644107595e-2,
+                    0.3608302115520091, 0.2721564237310992e-2,
+                    0.6498486161496169, 0.3033513795811141e-2,
+                    0.1932945013230339, 0.3007949555218533e-2,
+                    0.3800494919899303, 0.2881964603055307e-2,
+                    0.2899558825499574, 0.7934537856582316, 0.2958357626535696e-2,
+                    0.09684121455103957, 0.8280801506686862, 0.3036020026407088e-2,
+                    0.1833434647041659, 0.9074658265305127, 0.2832187403926303e-2],
               alt_specs=[dict(a1=1, a3=1, nb=5, nc=3, nd=3),
                          dict(a1=1, a3=1, nb=7, nc=1, nd=3),
                          dict(a1=1, a3=1, nb=4, nc=4, nd=3)]),
-    434: dict(p=35, spec=dict(a1=1, a2=1, a3=1, nb=7, nc=2, nd=4), seed=None,
+    434: dict(p=35, spec=dict(a1=1, a2=1, a3=1, nb=7, nc=2, nd=4),
+              seed=[0.5265897968224436e-3,
+                    0.2548219972002607e-2,
+                    0.2512317418927307e-2,
+                    0.6909346307509111, 0.2530403801186355e-2,
+                    0.1774836054609158, 0.2014279020918528e-2,
+                    0.4914342637512472, 0.2501725168402936e-2,
+                    0.6456664707424256, 0.2513267174597564e-2,
+                    0.2861289010307638, 0.2302694782227416e-2,
+                    0.07568084367178018, 0.1462495621594614e-2,
+                    0.3927259763368002, 0.2445373437312980e-2,
+                    0.8818132877794288, 0.2417442375638981e-2,
+                    0.9776428111182649, 0.1910951282179532e-2,
+                    0.2054823696403044, 0.8689460322872412, 0.2416930044324775e-2,
+                    0.5905157048925271, 0.7999278543857286, 0.2512236854563495e-2,
+                    0.5550152361076807, 0.7717462626915901, 0.2496644054553086e-2,
+                    0.9371809858553722, 0.3344363145343455, 0.2236607760437849e-2],
               alt_specs=[dict(a1=1, a2=1, a3=1, nb=6, nc=3, nd=4),
                          dict(a1=1, a2=1, a3=1, nb=8, nc=1, nd=4)]),
+    590: dict(p=41, spec=dict(a1=1, a3=1, nb=9, nc=3, nd=6),
+              seed=[0.3095121295306187e-3,
+                    0.1852379698597489e-2,
+                    0.7040954938227469, 0.1871790639277744e-2,
+                    0.6807744066455243, 0.1858812585438317e-2,
+                    0.6372546939258752, 0.1852028828296213e-2,
+                    0.5044419707800358, 0.1846715956151242e-2,
+                    0.4215761784010967, 0.1818471778162769e-2,
+                    0.3317920736472123, 0.1749564657281154e-2,
+                    0.2384736701421887, 0.1617210647254411e-2,
+                    0.1459036449157763, 0.1384737234851692e-2,
+                    0.06095034115507196, 0.9764331165051050e-3,
+                    0.6116843442009876, 0.1857161196774078e-2,
+                    0.3964755348199858, 0.1705153996395864e-2,
+                    0.1724782009907724, 0.1300321685886048e-2,
+                    0.5610263808622060, 0.3518280927733519, 0.1842866472905286e-2,
+                    0.4742392842551980, 0.2634716655937950, 0.1802658934377451e-2,
+                    0.5984126497885380, 0.1816640840360209, 0.1849830560443660e-2,
+                    0.3791035407695563, 0.1720795225656878, 0.1713904507106709e-2,
+                    0.2778673190586244, 0.08213021581932511, 0.1555213603396808e-2,
+                    0.5033564271075117, 0.08999205842074875, 0.1802239128008525e-2]),
 }
 
 
