@@ -3,15 +3,24 @@
 One implementation covers RHF/UHF/embedded references: the spin-orbital
 formulation with per-spin MO integrals handles distinct alpha/beta orbitals
 and spin-resolved embedded core Hamiltonians naturally (the case the
-reference patches around, driver.py:1087-1097). The amplitude update is a
-jitted fixed-point step with DIIS-free damping-free iteration; energies
-match PySCF CCSD to the convergence tolerance.
+reference patches around, driver.py:1087-1097).
+
+TPU-first iteration structure: the whole amplitude solve is ONE jitted
+``lax.while_loop`` with an on-device Pulay-DIIS ring buffer (no per-cycle
+host round trips — over the remote-TPU tunnel a host-side loop pays
+~100 ms dispatch + readback latency per cycle).  On hardware where f64 is
+emulated (v5e: ~90x slower per FLOP than f32) the ``"mixed"`` precision
+mode runs the sweep in f32 first (3-pass matmuls, ~f32-true accuracy) and
+polishes the last ~1e-6 with a short f64 sweep seeded from the f32
+amplitudes — the same fixed-point argument as the incremental
+mixed-precision SCF (docs/DESIGN notes): the converged amplitudes are a
+fixed point of the f64 update regardless of how the seed was produced.
 
 Replaces: PySCF ``cc.CCSD`` (reference driver.py:1105-1135).
 """
 
 import logging
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -121,8 +130,99 @@ def _ccsd_step(t1, t2, fock, w, denoms, slices):
     return t1_new, t2_new, e_corr
 
 
+@lru_cache(maxsize=8)
+def _make_sweep(no: int, nv: int, diis_dim: int):
+    """Jitted full-solve: while_loop of amplitude updates + on-device DIIS.
+
+    The DIIS ring buffers (amplitude vector + residual vector, ``diis_dim``
+    slots each) live on device; the B-matrix solve is a (m+1)x(m+1) lstsq
+    with fill-masking, the same structure as the SCF engine's in-loop DIIS
+    (nbed_tpu/scf/hf.py).
+    """
+    m = diis_dim
+    n1 = no * nv
+    namp = n1 + no * no * nv * nv
+
+    def unpack(vec):
+        return (vec[:n1].reshape(no, nv),
+                vec[n1:].reshape(no, no, nv, nv))
+
+    @partial(jax.jit, static_argnames=())
+    def sweep(fock, w, d1, d2, t1, t2, conv_tol, r_tol, max_cycle):
+        dtype = w.dtype
+        carry = dict(
+            t1=t1.astype(dtype),
+            t2=t2.astype(dtype),
+            e_corr=jnp.asarray(0.0, dtype),
+            e_prev=jnp.asarray(jnp.inf, dtype),
+            rmax=jnp.asarray(jnp.inf, dtype),
+            cycle=jnp.asarray(0, jnp.int32),
+            conv=jnp.asarray(False),
+            hist_t=jnp.zeros((m, namp), dtype),
+            hist_r=jnp.zeros((m, namp), dtype),
+            nfill=jnp.asarray(0, jnp.int32),
+        )
+
+        def cond(c):
+            return jnp.logical_and(c["cycle"] < max_cycle,
+                                   jnp.logical_not(c["conv"]))
+
+        def body(c):
+            t1n, t2n, e = _ccsd_step(
+                c["t1"], c["t2"], fock, w, (d1, d2), (no, nv)
+            )
+            r = jnp.concatenate([
+                (t1n - c["t1"]).ravel(), (t2n - c["t2"]).ravel()
+            ])
+            t_vec = jnp.concatenate([t1n.ravel(), t2n.ravel()])
+            slot = c["cycle"] % m
+            hist_t = c["hist_t"].at[slot].set(t_vec)
+            hist_r = c["hist_r"].at[slot].set(r)
+            nfill = jnp.minimum(c["nfill"] + 1, m)
+
+            def extrapolate(_):
+                b = hist_r @ hist_r.T
+                filled = (jnp.arange(m) < nfill).astype(dtype)
+                b = (b * (filled[:, None] * filled[None, :])
+                     + jnp.diag(1.0 - filled))
+                big = jnp.zeros((m + 1, m + 1), dtype)
+                big = big.at[:m, :m].set(b)
+                big = big.at[:m, m].set(filled)
+                big = big.at[m, :m].set(filled)
+                rhs = jnp.zeros(m + 1, dtype).at[m].set(1.0)
+                coef = jnp.linalg.lstsq(big, rhs)[0][:m] * filled
+                return coef @ hist_t
+
+            t_vec = jax.lax.cond(nfill >= 2, extrapolate,
+                                 lambda _: t_vec, None)
+            t1x, t2x = unpack(t_vec)
+            rmax = jnp.max(jnp.abs(r))
+            conv = jnp.logical_and(jnp.abs(e - c["e_prev"]) < conv_tol,
+                                   rmax < r_tol)
+            return dict(t1=t1x, t2=t2x, e_corr=e, e_prev=e, rmax=rmax,
+                        cycle=c["cycle"] + 1, conv=conv,
+                        hist_t=hist_t, hist_r=hist_r, nfill=nfill)
+
+        out = jax.lax.while_loop(cond, body, carry)
+        return (out["t1"], out["t2"], out["e_corr"], out["rmax"],
+                out["cycle"], out["conv"])
+
+    return sweep
+
+
+def _resolve_precision(precision: str) -> str:
+    if precision != "auto":
+        return precision
+    try:
+        platform = jax.devices()[0].platform
+    except RuntimeError:
+        platform = "cpu"
+    return "mixed" if platform == "tpu" else "f64"
+
+
 def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
-             max_cycle: int = 100):
+             max_cycle: int = 100, precision: str = "auto",
+             diis_dim: int = 6):
     """CCSD correlation energy from spin-orbital integrals.
 
     Args:
@@ -130,6 +230,10 @@ def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
             potential).
         so_h2: (M, M, M, M) a+a+aa coefficient tensor (builder's 0.5*h2).
         occ_mask: boolean (M,) — True for occupied spin orbitals.
+        precision: ``"f64"`` (one f64 sweep), ``"f32"`` (one f32 sweep,
+            ~1e-5-grade), ``"mixed"`` (f32 sweep then f64 polish — the TPU
+            hot path), or ``"auto"`` (mixed on TPU, f64 elsewhere).
+        diis_dim: on-device DIIS ring-buffer length.
 
     Returns:
         (e_corr, e_hf_elec): correlation energy and the reference
@@ -152,55 +256,39 @@ def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
         eps[o, None, None, None] + eps[None, o, None, None]
         - eps[None, None, no:, None] - eps[None, None, None, no:]
     )
-    t1 = fock[o, no:] / d1
-    t2 = w[o, o, no:, no:] / d2
+    t1 = jnp.asarray(fock[o, no:] / d1)
+    t2 = jnp.asarray(w[o, o, no:, no:] / d2)
 
-    fock_j = jnp.asarray(fock)
-    w_j = jnp.asarray(w)
-    t1 = jnp.asarray(t1)
-    t2 = jnp.asarray(t2)
-    e_prev = 0.0
-    e_corr = 0.0
-    # host-side Pulay DIIS on the amplitude vector (residual = update step)
-    diis_dim = 6
-    hist_t, hist_r = [], []
-    for it in range(max_cycle):
-        t1_new, t2_new, e_corr = _ccsd_step(
-            t1, t2, fock_j, w_j, (jnp.asarray(d1), jnp.asarray(d2)), (no, nv)
-        )
-        r = np.concatenate([
-            np.asarray(t1_new - t1).ravel(), np.asarray(t2_new - t2).ravel()
-        ])
-        t_vec = np.concatenate([
-            np.asarray(t1_new).ravel(), np.asarray(t2_new).ravel()
-        ])
-        hist_t.append(t_vec)
-        hist_r.append(r)
-        if len(hist_t) > diis_dim:
-            hist_t.pop(0)
-            hist_r.pop(0)
-        if len(hist_t) >= 2:
-            m = len(hist_r)
-            b = np.empty((m + 1, m + 1))
-            b[:m, :m] = np.array(
-                [[ri @ rj for rj in hist_r] for ri in hist_r]
+    sweep = _make_sweep(no, nv, diis_dim)
+    ops64 = tuple(jnp.asarray(a) for a in (fock, w, d1, d2))
+    precision = _resolve_precision(precision)
+
+    if precision in ("f32", "mixed"):
+        ops32 = tuple(a.astype(jnp.float32) for a in ops64)
+        # 3-pass f32 matmuls: true-f32 contraction accuracy on the MXU
+        # (single-pass bf16 is too coarse for amplitude fixed points).
+        with jax.default_matmul_precision("float32"):
+            t1_, t2_, e32, rmax, n_it, conv = sweep(
+                *ops32, t1, t2,
+                jnp.float32(max(conv_tol, 1e-6)), jnp.float32(1e-5),
+                jnp.int32(max_cycle),
             )
-            b[m, :m] = b[:m, m] = 1.0
-            b[m, m] = 0.0
-            rhs = np.zeros(m + 1)
-            rhs[m] = 1.0
-            try:
-                coef = np.linalg.solve(b, rhs)[:m]
-                t_vec = sum(c * t for c, t in zip(coef, hist_t))
-            except np.linalg.LinAlgError:
-                pass
-        n1 = no * nv
-        t1 = jnp.asarray(t_vec[:n1].reshape(no, nv))
-        t2 = jnp.asarray(t_vec[n1:].reshape(no, no, nv, nv))
-        e_corr = float(e_corr)
-        if abs(e_corr - e_prev) < conv_tol and float(np.abs(r).max()) < 1e-6:
-            logger.debug("CCSD converged in %d cycles.", it + 1)
-            return e_corr, float(e_ref)
-        e_prev = e_corr
-    logger.warning("CCSD did NOT converge in %d cycles.", max_cycle)
-    return e_corr, float(e_ref)
+        t1, t2 = t1_, t2_
+        logger.debug("CCSD f32 sweep: %s cycles, e=%s, rmax=%s",
+                     int(n_it), float(e32), float(rmax))
+        if precision == "f32":
+            if not bool(conv):
+                logger.warning("CCSD (f32) did NOT converge in %d cycles.",
+                               max_cycle)
+            return float(e32), float(e_ref)
+
+    t1_, t2_, e_corr, rmax, n_it, conv = sweep(
+        *ops64, t1, t2, jnp.float64(conv_tol), jnp.float64(1e-6),
+        jnp.int32(max_cycle),
+    )
+    if bool(conv):
+        logger.debug("CCSD converged in %d f64 cycles (%s).",
+                     int(n_it), precision)
+    else:
+        logger.warning("CCSD did NOT converge in %d cycles.", max_cycle)
+    return float(e_corr), float(e_ref)

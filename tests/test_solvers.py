@@ -51,3 +51,15 @@ def test_ccsd_equals_fci_for_two_electrons():
     vals, _ = run_fci(const, h1, h2, 4, (1, 1))
     e_corr, e_ref = run_ccsd(h1, h2, _interleaved_occ(sol), conv_tol=1e-12)
     assert np.isclose(e_ref + e_corr, vals[0], atol=1e-9)
+
+
+def test_ccsd_mixed_precision_matches_f64(water_uhf):
+    """The f32-sweep + f64-polish path lands on the same fixed point."""
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    occ = _interleaved_occ(water_uhf)
+    e64, _ = run_ccsd(h1, h2, occ, conv_tol=1e-10, precision="f64")
+    emix, _ = run_ccsd(h1, h2, occ, conv_tol=1e-10, precision="mixed")
+    assert abs(emix - e64) < 1e-8
+    # the f32 sweep alone must already be ~1e-5-grade (seeding quality)
+    e32, _ = run_ccsd(h1, h2, occ, conv_tol=1e-10, precision="f32")
+    assert abs(e32 - e64) < 5e-5
