@@ -219,6 +219,59 @@ def bench_pipeline(details):
     return cold, warm, scf_wall
 
 
+def bench_ccsd(details):
+    """CCSD amplitude-sweep throughput, f32 vs f64 (the mixed-precision
+    design in one number).  Times the jitted while_loop sweep at a
+    representative embedded-active-space size (12 occupied / 60 virtual
+    spin orbitals) by differencing two fixed cycle counts — the sweep runs
+    entirely on device, so the scalar readback is the only barrier."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbed_tpu.solvers.ccsd import _make_sweep
+
+    no, nv = 12, 60
+    m = no + nv
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((m, m, m, m)) * 1e-3
+    w = w - w.transpose(0, 1, 3, 2)
+    w = w + w.transpose(2, 3, 0, 1).conj()
+    fock = np.diag(np.concatenate([-np.arange(no)[::-1] - 1.0,
+                                   np.arange(nv) + 0.5]))
+    eps = np.diag(fock)
+    o = slice(0, no)
+    d1 = eps[o, None] - eps[None, no:]
+    d2 = (eps[o, None, None, None] + eps[None, o, None, None]
+          - eps[None, None, no:, None] - eps[None, None, None, no:])
+    t1 = np.zeros((no, nv))
+    t2 = w[o, o, no:, no:] / d2
+    sweep = _make_sweep(no, nv, 6)
+
+    def time_sweep(dtype, n_lo=3, n_hi=23):
+        ops = tuple(jnp.asarray(a, dtype) for a in (fock, w, d1, d2))
+        amps = (jnp.asarray(t1, dtype), jnp.asarray(t2, dtype))
+        zero = jnp.asarray(0.0, dtype)  # conv_tol 0: never exits early
+        t = {}
+        for n in (n_lo, n_hi):  # compile + warm readback
+            float(sweep(*ops, *amps, zero, zero, jnp.int32(n))[2])
+        for n in (n_lo, n_hi):
+            t0 = time.perf_counter()
+            float(sweep(*ops, *amps, zero, zero, jnp.int32(n))[2])
+            t[n] = time.perf_counter() - t0
+        return max((t[n_hi] - t[n_lo]) / (n_hi - n_lo), 1e-9)
+
+    with jax.default_matmul_precision("float32"):
+        t32 = time_sweep(jnp.float32)
+    _log(f"ccsd: f32 sweep {t32 * 1e3:.1f} ms/iter (no=12, nv=60)")
+    t64 = time_sweep(jnp.float64)
+    _log(f"ccsd: f64 sweep {t64 * 1e3:.1f} ms/iter")
+    details["ccsd_no_nv"] = (no, nv)
+    details["ccsd_f32_iter_s"] = t32
+    details["ccsd_f64_iter_s"] = t64
+    details["ccsd_f64_over_f32"] = round(t64 / t32, 2)
+    return t64 / t32
+
+
 def bench_jw(details):
     """JW term generation throughput on the full-system water Hamiltonian."""
     from nbed_tpu.chem import build_molecule
@@ -291,6 +344,17 @@ def main():
             details["embed_pipeline_error"] = repr(exc)
         finally:
             signal.alarm(0)
+
+    try:
+        _alarm(900)
+        ratio = bench_ccsd(details)
+        out["ccsd_f64_over_f32"] = round(ratio, 2)
+    except _Timeout:
+        details["ccsd_error"] = "timeout (900s)"
+    except Exception as exc:
+        details["ccsd_error"] = repr(exc)
+    finally:
+        signal.alarm(0)
 
     try:
         _alarm(300)

@@ -258,3 +258,45 @@ def test_subsystem_dft_partition(spinless_driver):
         + spinless_driver._ks_engine.energy_nuc()
     )
     assert np.isclose(total, spinless_driver._global_ks.e_tot, atol=1e-10)
+
+
+def test_open_shell_concentric_localization():
+    """CL virtual truncation on an open-shell system (methyl radical):
+    per-spin ragged virtual spaces flow through the padded C stacks, the
+    truncated embedded FCI stays within the CL truncation error of the
+    full-virtual result, and both projectors agree after truncation
+    (round-2 worklist: only the doublet FCI path without CL was
+    oracle-tested)."""
+    from pathlib import Path
+
+    from nbed_tpu import nbed
+
+    xyz = str(Path(__file__).parent / "molecules" / "methyl_radical.xyz")
+    common = dict(geometry=xyz, n_active_atoms=1, basis="STO-3G",
+                  xc_functional="b3lyp", localization="spade", spin=1,
+                  run_fci_emb=True)
+    full = nbed(projector="mu", **common)
+    cl = nbed(projector="mu", virtual_localization="cl", **common)
+
+    scf_cl = cl.mu["scf"]
+    assert scf_cl.converged
+    # CL recorded its shell structure and truncated (or kept) the virtuals
+    assert cl.mu.get("cl") is not None
+    n_mo_full = np.asarray(full.mu["scf"].mo_coeff).shape[-1]
+    n_mo_cl = np.asarray(scf_cl.mo_coeff).shape[-1]
+    assert n_mo_cl <= n_mo_full
+    # spin sectors keep their electron counts (doublet preserved)
+    na, nb = scf_cl.nelec
+    assert na == nb + 1
+    # per-spin MO sets stay S-orthonormal after the padded-stack surgery
+    s = np.asarray(scf_cl.engine.s)
+    for sp in range(2):
+        c = np.asarray(scf_cl.mo_coeff)[sp]
+        g = c.T @ s @ c
+        np.testing.assert_allclose(g, np.eye(g.shape[0]), atol=1e-8)
+    # truncation changes the FCI energy only by the CL truncation error
+    assert abs(cl.mu["e_fci"] - full.mu["e_fci"]) < 5e-3
+
+    huz = nbed(projector="huzinaga", virtual_localization="cl", **common)
+    assert huz.huzinaga["scf"].converged
+    assert abs(huz.huzinaga["e_fci"] - cl.mu["e_fci"]) < 1e-3
