@@ -199,7 +199,15 @@ def run_scf(
         big = big.at[:m, m].set(filled)
         big = big.at[m, :m].set(filled)
         rhs = jnp.zeros(m + 1, b.dtype).at[m].set(1.0)
-        coef = jnp.linalg.lstsq(big, rhs)[0][:m] * filled
+        # eigh-based pseudo-inverse, not jnp.linalg.lstsq: the f32 lstsq
+        # (SVD) lowering inside a while_loop crashes the TPU AOT compiler
+        # (XLA TransposeFolding SIGABRT, bisected round 3 in the CCSD
+        # sweep); eigh compiles in-loop on TPU (eig_fock below does it
+        # every cycle) and is the same pinv for this symmetric system.
+        ew, ev = jnp.linalg.eigh(big)
+        cut = jnp.max(jnp.abs(ew)) * jnp.finfo(b.dtype).eps * (m + 1)
+        inv_ew = jnp.where(jnp.abs(ew) > cut, 1.0 / ew, 0.0)
+        coef = ((ev * inv_ew[None, :]) @ (ev.T @ rhs))[:m] * filled
         return jnp.einsum("h,hsij->sij", coef, hist_f)
 
     def cond(carry):

@@ -180,21 +180,30 @@ def _make_sweep(no: int, nv: int, diis_dim: int):
             hist_r = c["hist_r"].at[slot].set(r)
             nfill = jnp.minimum(c["nfill"] + 1, m)
 
-            def extrapolate(_):
-                b = hist_r @ hist_r.T
-                filled = (jnp.arange(m) < nfill).astype(dtype)
-                b = (b * (filled[:, None] * filled[None, :])
-                     + jnp.diag(1.0 - filled))
-                big = jnp.zeros((m + 1, m + 1), dtype)
-                big = big.at[:m, :m].set(b)
-                big = big.at[:m, m].set(filled)
-                big = big.at[m, :m].set(filled)
-                rhs = jnp.zeros(m + 1, dtype).at[m].set(1.0)
-                coef = jnp.linalg.lstsq(big, rhs)[0][:m] * filled
-                return coef @ hist_t
-
-            t_vec = jax.lax.cond(nfill >= 2, extrapolate,
-                                 lambda _: t_vec, None)
+            # Unconditional extrapolation + jnp.where select.  NOT
+            # jnp.linalg.lstsq: an lstsq (SVD lowering) inside a while_loop
+            # crashes the TPU AOT compiler (XLA TransposeFolding
+            # "buffer != nullptr" SIGABRT, bisected round 3) — the
+            # pseudo-inverse of the symmetric DIIS system is built from
+            # eigh instead, which the SCF loop already proves out on TPU
+            # (scf/hf.py eig_fock runs eigh every cycle).  The masked B
+            # matrix is identity-padded so the always-computed solve is
+            # well-defined for any fill level.
+            b = hist_r @ hist_r.T
+            filled = (jnp.arange(m) < nfill).astype(dtype)
+            b = (b * (filled[:, None] * filled[None, :])
+                 + jnp.diag(1.0 - filled))
+            big = jnp.zeros((m + 1, m + 1), dtype)
+            big = big.at[:m, :m].set(b)
+            big = big.at[:m, m].set(filled)
+            big = big.at[m, :m].set(filled)
+            rhs = jnp.zeros(m + 1, dtype).at[m].set(1.0)
+            ew, ev = jnp.linalg.eigh(big)
+            cut = jnp.max(jnp.abs(ew)) * jnp.finfo(dtype).eps * (m + 1)
+            inv_ew = jnp.where(jnp.abs(ew) > cut, 1.0 / ew, 0.0)
+            coef = (ev * inv_ew[None, :]) @ (ev.T @ rhs)
+            coef = coef[:m] * filled
+            t_vec = jnp.where(nfill >= 2, coef @ hist_t, t_vec)
             t1x, t2x = unpack(t_vec)
             rmax = jnp.max(jnp.abs(r))
             conv = jnp.logical_and(jnp.abs(e - c["e_prev"]) < conv_tol,
