@@ -14,8 +14,11 @@ TPU-native parallel dimensions for this domain are:
 from .sharding import (
     batched_hf_energies,
     make_mesh,
+    make_sharded_df_scf,
     make_sharded_scf,
+    sharded_df_scf,
     sharded_scf,
 )
 
-__all__ = ["make_mesh", "make_sharded_scf", "sharded_scf", "batched_hf_energies"]
+__all__ = ["make_mesh", "make_sharded_scf", "sharded_scf", "make_sharded_df_scf",
+           "sharded_df_scf", "batched_hf_energies"]

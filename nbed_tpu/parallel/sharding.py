@@ -28,7 +28,8 @@ from ..integrals import (
 )
 from ..scf.hf import run_scf
 
-__all__ = ["make_mesh", "sharded_scf", "batched_hf_energies", "pad_to_multiple"]
+__all__ = ["make_mesh", "sharded_scf", "sharded_df_scf", "make_sharded_df_scf",
+           "batched_hf_energies", "pad_to_multiple"]
 
 
 def make_mesh(n_devices: int | None = None, batch: int = 1) -> Mesh:
@@ -103,6 +104,74 @@ def sharded_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None, **scf_kwargs
     """
     fn, args = make_sharded_scf(mol, mesh, coords=coords, nelec=nelec,
                                 **scf_kwargs)
+    return fn(*args)
+
+
+def make_sharded_df_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,
+                        df_beta: float = 1.8, **scf_kwargs):
+    """Build the aux-sharded density-fitted SCF program: ``(jitted_fn, args)``.
+
+    The O(nao^2 naux) DF factor B — the memory wall for large molecules,
+    where the O(nao^4) supermatrix of :func:`make_sharded_scf` stops
+    fitting one chip's HBM — is sharded over its *auxiliary* axis across
+    the mesh 'model' axis.  Per SCF cycle each device contracts its aux
+    slab with the (replicated) density:
+
+    - J:  rho_P = B_abP D_ab stays aux-sharded (no traffic); the
+      back-contraction J_ab = B_abP rho_P is a partial sum per device that
+      GSPMD finishes with one all-reduce over 'model' (rides ICI).
+    - K:  T_ioP = B_ikP C_ko is aux-sharded; K_ij = T_ioP T_joP again
+      reduces over the sharded axis -> one all-reduce.
+
+    The aux axis is zero-padded to a multiple of the 'model' axis size
+    (zero aux functions contribute nothing to either sum).  Exposed
+    separately so tests can assert the partitioning on the lowered HLO.
+    """
+    from ..scf.engine import df_b_factor
+
+    c = np.asarray(mol.coords) if coords is None else np.asarray(coords)
+    n = mol.nao
+    n_model = mesh.shape["model"]
+    b = df_b_factor(mol, c, beta=df_beta)  # (n, n, naux_kept)
+    b = np.pad(b, [(0, 0), (0, 0), (0, (-b.shape[2]) % n_model)])
+    aux_sharded = NamedSharding(mesh, P(None, None, "model"))
+    replicated = NamedSharding(mesh, P())
+    b = jax.device_put(jnp.asarray(b), aux_sharded)
+    cj = jnp.asarray(c)
+    hcore = jax.device_put(kinetic(mol, cj) + nuclear_attraction(mol, cj),
+                           replicated)
+    s = jax.device_put(overlap(mol, cj), replicated)
+
+    def df_run(hcore, s, b):
+        def jk_fn(dm):
+            d_tot = dm[0] + dm[1]
+            rho = jnp.einsum("abP,ab->P", b, d_tot)
+            j = jnp.einsum("abP,P->ab", b, rho)
+
+            def k_spin(d):
+                w, u = jnp.linalg.eigh(d)
+                c_eff = u * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
+                t = jnp.einsum("ikP,ko->ioP", b, c_eff)
+                return jnp.einsum("ioP,joP->ij", t, t)
+
+            return j, jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
+
+        return run_scf(hcore=hcore, s=s, jk_fn=jk_fn,
+                       nelec=mol.nelec if nelec is None else nelec, **scf_kwargs)
+
+    return jax.jit(df_run), (hcore, s, b)
+
+
+def sharded_df_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,
+                   df_beta: float = 1.8, **scf_kwargs):
+    """Density-fitted HF with the B factor sharded over the 'model' axis.
+
+    The scalable multi-chip path: per-device memory is O(nao^2 naux / n_model)
+    and each J/K build costs one all-reduce over ICI (see
+    :func:`make_sharded_df_scf`).
+    """
+    fn, args = make_sharded_df_scf(mol, mesh, coords=coords, nelec=nelec,
+                                   df_beta=df_beta, **scf_kwargs)
     return fn(*args)
 
 

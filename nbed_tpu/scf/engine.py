@@ -51,6 +51,32 @@ def _spinify(dm):
     return dm
 
 
+def df_b_factor(mol, coords, beta: float = 1.8) -> np.ndarray:
+    """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP.
+
+    Built from native 3-centre/2-centre integrals over an automatic
+    even-tempered auxiliary basis; the metric inverse square root is
+    eigenvalue-clipped for robustness.  Host-side (numpy) so callers can
+    choose device placement/sharding of the result (the multi-chip path
+    shards the aux axis, nbed_tpu/parallel/sharding.py).
+    """
+    from .. import native
+    from ..chem.basis.auxiliary import make_auxiliary_molecule
+
+    aux = make_auxiliary_molecule(mol, beta=beta)
+    b3 = native.eri_3c(mol, aux, coords)
+    m2 = native.eri_2c(aux, coords)
+    w, v = np.linalg.eigh(m2)
+    # canonical orthogonalisation: *discard* near-null metric directions
+    # (clip-inverting them amplifies integral noise by 1/sqrt(w) and
+    # destroys large overcomplete auto-aux sets)
+    keep = w > 1e-10 * w.max()
+    m_isqrt = v[:, keep] / np.sqrt(w[keep])[None, :]  # (naux, nkeep)
+    logger.debug("DF aux: %d functions, %d kept after metric pruning",
+                 len(w), int(keep.sum()))
+    return np.einsum("abP,PQ->abQ", b3, m_isqrt, optimize=True)
+
+
 # Hund's-rule unpaired-electron counts for neutral atoms (SAD guess)
 _ATOM_SPIN = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1, 10: 0,
               11: 1, 12: 0, 13: 1, 14: 2, 15: 3, 16: 2, 17: 1, 18: 0}
@@ -321,27 +347,8 @@ class SCFEngine:
 
     @cached_property
     def _df_b(self):
-        """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP.
-
-        Built from native 3-centre/2-centre integrals over an automatic
-        even-tempered auxiliary basis; the metric inverse square root is
-        eigenvalue-clipped for robustness.
-        """
-        from .. import native
-        from ..chem.basis.auxiliary import make_auxiliary_molecule
-
-        aux = make_auxiliary_molecule(self.mol, beta=self.df_beta)
-        b3 = native.eri_3c(self.mol, aux, self.coords)
-        m2 = native.eri_2c(aux, self.coords)
-        w, v = np.linalg.eigh(m2)
-        # canonical orthogonalisation: *discard* near-null metric directions
-        # (clip-inverting them amplifies integral noise by 1/sqrt(w) and
-        # destroys large overcomplete auto-aux sets)
-        keep = w > 1e-10 * w.max()
-        m_isqrt = v[:, keep] / np.sqrt(w[keep])[None, :]  # (naux, nkeep)
-        logger.debug("DF aux: %d functions, %d kept after metric pruning",
-                     len(w), int(keep.sum()))
-        return jnp.asarray(np.einsum("abP,PQ->abQ", b3, m_isqrt, optimize=True))
+        """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP."""
+        return jnp.asarray(df_b_factor(self.mol, self.coords, self.df_beta))
 
     def _df_jk(self, dm):
         """DF J/K: Coulomb via the fitted density, exchange via an

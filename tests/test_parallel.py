@@ -37,6 +37,44 @@ def test_batched_conformers(water_molecule):
     assert np.all(np.diff(energies) > 0)
 
 
+def test_sharded_df_scf_partitions_and_matches(water_molecule, water_uhf):
+    """Aux-sharded density-fitted SCF (the large-molecule multi-chip path):
+    per-device B slabs are (n, n, naux_pad / n_model), the compiled program
+    joins the partial J/K sums with collectives, and the energy matches the
+    single-device DF engine to the DF fitting error."""
+    from nbed_tpu.parallel import make_sharded_df_scf
+
+    mesh = make_mesh(8, batch=1)
+    fn, args = make_sharded_df_scf(water_molecule, mesh, conv_tol=1e-10,
+                                   dm_conv_tol=1e-8, max_cycle=100)
+    hcore, s, b = args
+    n = water_molecule.nao
+    n_model = mesh.shape["model"]
+    naux_pad = b.shape[2]
+    shard_shapes = {sh.data.shape for sh in b.addressable_shards}
+    assert shard_shapes == {(n, n, naux_pad // n_model)}
+
+    compiled = fn.lower(*args).compile()
+    hlo = compiled.as_text()
+    assert any(tok in hlo for tok in ("all-reduce", "all-gather",
+                                      "reduce-scatter", "collective-permute")), \
+        "no collectives in the compiled sharded-DF-SCF HLO"
+
+    res = fn(*args)
+    e_tot = float(res.e_elec) + float(water_molecule.energy_nuc())
+    assert bool(res.converged)
+    # DF fitting error bound, same grade as tests/test_df.py (8.4e-6 water)
+    assert np.isclose(e_tot, water_uhf.e_tot, atol=2e-5)
+
+    # cross-check against the single-device DF engine: identical fit, so
+    # the agreement is much tighter than the DF error itself
+    from nbed_tpu.scf.engine import SCFEngine
+    eng = SCFEngine(water_molecule, density_fitting=True, conv_tol=1e-10,
+                    dm_conv_tol=1e-8, max_cycle=100)
+    e_single = eng.kernel().e_tot
+    assert np.isclose(e_tot, e_single, atol=1e-8)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(8, batch=2)
     assert dict(mesh.shape) == {"batch": 2, "model": 4}
