@@ -17,7 +17,7 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-__all__ = ["SCFResult", "run_scf", "make_rdm1", "lowdin_x"]
+__all__ = ["SCFResult", "run_scf", "make_rdm1", "lowdin_x", "eigh_refined"]
 
 
 class SCFResult(NamedTuple):
@@ -39,9 +39,46 @@ def make_rdm1(mo_coeff, mo_occ):
     return jnp.einsum("spi,si,sqi->spq", mo_coeff, mo_occ, mo_coeff)
 
 
+def eigh_refined(a):
+    """Symmetric eigh with one Newton refinement of the eigenvectors (TPU).
+
+    XLA's TPU eigh under f64 emulation returns f64-grade eigenVALUES and
+    orthonormality (~1e-13) but only f32-grade eigenVECTOR residuals
+    (|A V - V W| ~ 1e-7 |A|, measured round 3).  In the SCF loop that
+    floors the DIIS error matrix X^T(FDS-SDF)X at ~4e-8 — the density
+    converges but DIIS keeps extrapolating over pure eigenvector noise and
+    settles into a ~1e-6 limit cycle (water/STO-3G: 100 cycles,
+    1.3e-6 Ha high).  One first-order correction built from f64-true GEMMs
+    (those ARE accurate on TPU, ~1e-15) pushes the residual to
+    ~eps^2/gap: with R = V^T A V nearly diagonal, the skew update
+    Delta_ij = R_ij / (R_jj - R_ii) annihilates the off-diagonal coupling
+    to second order, and one Newton orthonormalisation V (3I - V^T V)/2
+    restores orthogonality.  Near-degenerate pairs keep Delta = 0:
+    intra-block rotations do not change any downstream subspace projector
+    (densities, DIIS errors), so the guard is safe.
+
+    Off-TPU the plain eigh is already ~1e-15 and is returned untouched
+    (keeps CPU programs bit-identical).
+    """
+    w, v = jnp.linalg.eigh(a)
+    if jax.default_backend() != "tpu":
+        return w, v
+    r = jnp.einsum("...pi,...pq,...qj->...ij", v, a, v)
+    w = jnp.diagonal(r, axis1=-2, axis2=-1)
+    d = w[..., None, :] - w[..., :, None]  # d_ij = w_j - w_i
+    scale = jnp.max(jnp.abs(w), axis=-1, keepdims=True)[..., None]
+    safe = jnp.abs(d) > 1e-8 * scale
+    delta = jnp.where(safe, r / jnp.where(safe, d, 1.0), 0.0)
+    v = v + jnp.einsum("...ik,...kj->...ij", v, delta)
+    vtv = jnp.einsum("...ki,...kj->...ij", v, v)
+    eye = jnp.eye(a.shape[-1], dtype=a.dtype)
+    v = jnp.einsum("...ik,...kj->...ij", v, 1.5 * eye - 0.5 * vtv)
+    return w, v
+
+
 def lowdin_x(s):
     """S^{-1/2} via eigh (reference huzinaga_scf.py:128 uses scipy)."""
-    w, v = jnp.linalg.eigh(s)
+    w, v = eigh_refined(s)
     return (v * (1.0 / jnp.sqrt(w))[None, :]) @ v.T
 
 
@@ -174,7 +211,7 @@ def run_scf(
 
     def eig_fock(f):
         f_ortho = jnp.einsum("pi,spq,qj->sij", x, f, x)
-        mo_e, c_ortho = jnp.linalg.eigh(f_ortho)
+        mo_e, c_ortho = eigh_refined(f_ortho)
         return mo_e, jnp.einsum("pi,sij->spj", x, c_ortho)
 
     # initial guess: core Hamiltonian (+projectors), as in the reference
@@ -204,8 +241,13 @@ def run_scf(
         # (XLA TransposeFolding SIGABRT, bisected round 3 in the CCSD
         # sweep); eigh compiles in-loop on TPU (eig_fock below does it
         # every cycle) and is the same pinv for this symmetric system.
-        ew, ev = jnp.linalg.eigh(big)
-        cut = jnp.max(jnp.abs(ew)) * jnp.finfo(b.dtype).eps * (m + 1)
+        # Refined eigh + a lindep-style relative cut: once the residuals
+        # hit the device noise floor, B is a nearly singular noise Gram
+        # matrix — inverting its noise directions produces wild
+        # extrapolation coefficients that kick the density off the fixed
+        # point (the TPU limit-cycle failure mode, round 3).
+        ew, ev = eigh_refined(big)
+        cut = jnp.max(jnp.abs(ew)) * max(1e-12, (m + 1) * float(jnp.finfo(b.dtype).eps))
         inv_ew = jnp.where(jnp.abs(ew) > cut, 1.0 / ew, 0.0)
         coef = ((ev * inv_ew[None, :]) @ (ev.T @ rhs))[:m] * filled
         return jnp.einsum("h,hsij->sij", coef, hist_f)

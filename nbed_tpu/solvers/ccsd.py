@@ -26,6 +26,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ..scf.hf import eigh_refined
+
 logger = logging.getLogger(__name__)
 
 __all__ = ["run_ccsd"]
@@ -198,8 +200,8 @@ def _make_sweep(no: int, nv: int, diis_dim: int):
             big = big.at[:m, m].set(filled)
             big = big.at[m, :m].set(filled)
             rhs = jnp.zeros(m + 1, dtype).at[m].set(1.0)
-            ew, ev = jnp.linalg.eigh(big)
-            cut = jnp.max(jnp.abs(ew)) * jnp.finfo(dtype).eps * (m + 1)
+            ew, ev = eigh_refined(big)
+            cut = jnp.max(jnp.abs(ew)) * max(1e-12, (m + 1) * float(jnp.finfo(dtype).eps))
             inv_ew = jnp.where(jnp.abs(ew) > cut, 1.0 / ew, 0.0)
             coef = (ev * inv_ew[None, :]) @ (ev.T @ rhs)
             coef = coef[:m] * filled
