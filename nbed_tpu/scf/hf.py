@@ -63,6 +63,12 @@ def eigh_refined(a):
     w, v = jnp.linalg.eigh(a)
     if jax.default_backend() != "tpu":
         return w, v
+    return newton_refine_eigh(a, v)
+
+
+def newton_refine_eigh(a, v):
+    """One Newton pass improving an approximate eigenbasis ``v`` of
+    symmetric ``a`` (see :func:`eigh_refined` for when and why)."""
     r = jnp.einsum("...pi,...pq,...qj->...ij", v, a, v)
     w = jnp.diagonal(r, axis1=-2, axis2=-1)
     d = w[..., None, :] - w[..., :, None]  # d_ij = w_j - w_i

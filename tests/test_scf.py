@@ -77,6 +77,41 @@ def test_incremental_jk_df_matches(water_molecule):
     assert np.isclose(inc.e_tot, plain.e_tot, atol=1e-8)
 
 
+def test_newton_refine_eigh_recovers_f64_residual():
+    """The TPU eigh repair (scf/hf.py:eigh_refined): given an eigenbasis
+    corrupted at the f32-grade level XLA's TPU eigh actually delivers
+    (~1e-7 relative eigenvector residual, measured round 3), one Newton
+    pass restores an f64-grade residual and orthonormality.  Runs the
+    refinement math directly so the CPU suite covers the TPU-only path."""
+    import jax.numpy as jnp
+
+    from nbed_tpu.scf.hf import newton_refine_eigh
+
+    rng = np.random.default_rng(5)
+    n = 32
+    a = rng.standard_normal((n, n))
+    a = a + a.T
+    w0, v0 = np.linalg.eigh(a)
+    # corrupt with a small random rotation (the TPU failure mode)
+    g = rng.standard_normal((n, n)) * 1e-7
+    v_bad = v0 @ (np.eye(n) + (g - g.T))
+    res_bad = np.abs(a @ v_bad - v_bad * w0[None, :]).max()
+    assert res_bad > 1e-7  # the corruption is visible
+
+    w, v = newton_refine_eigh(jnp.asarray(a), jnp.asarray(v_bad))
+    w, v = np.asarray(w), np.asarray(v)
+    assert np.abs(a @ v - v * w[None, :]).max() < 1e-11
+    assert np.abs(v.T @ v - np.eye(n)).max() < 1e-12
+    np.testing.assert_allclose(np.sort(w), w0, atol=1e-11)
+
+    # batched (spin-axis) form used by eig_fock
+    ab = np.stack([a, a + np.eye(n)])
+    vb = np.stack([v_bad, v_bad])
+    wb, vv = newton_refine_eigh(jnp.asarray(ab), jnp.asarray(vb))
+    assert np.abs(np.einsum("sij,sjk->sik", ab, np.asarray(vv))
+                  - np.asarray(vv) * np.asarray(wb)[:, None, :]).max() < 1e-11
+
+
 def test_restricted_dm_is_total(water_rhf):
     dm = water_rhf.make_rdm1()
     assert dm.ndim == 2
