@@ -25,11 +25,20 @@ real-pipeline numbers the BASELINE.md targets track:
 
 Details land in bench_details.json.  Set NBED_BENCH_SKIP_PIPELINE=1 to skip
 the pipeline stage (e.g. on a cold remote tunnel).
+
+Robustness: every stage runs in its own SUBPROCESS with a hard timeout.
+SIGALRM cannot interrupt a native XLA wait (a wedged remote-compile tunnel
+hangs the process forever and the alarm only fires after the native call
+returns), so in-process guards are not enough — a stuck tunnel must not
+cost the whole benchmark.  A preflight probe checks the device is actually
+reachable; if not, the stages fall back to CPU and the JSON line says so
+(``backend: cpu-fallback``) rather than reporting nothing.
 """
 
 import json
 import os
 import signal
+import subprocess
 import sys
 import time
 
@@ -309,66 +318,135 @@ def bench_jw(details):
     return len(psum.terms), len(psum.terms) / dt
 
 
-def main():
+def _stage_fock(out, details):
+    # generous in-stage guard: the remote tunnel's first post-compile
+    # readback can stall ~8 min cold (cached afterwards)
+    _alarm(1500)
+    gflops, speedup = bench_fock(details)
+    out["value"] = round(gflops, 3)
+    out["vs_baseline"] = round(speedup, 3)
+
+
+def _stage_pipeline(out, details):
+    _alarm(2100)
+    _log("pipeline: running embed() cold")
+    cold, warm, scf_wall = bench_pipeline(details)
+    out["embed_pipeline_wall_s"] = round(cold, 3)
+    out["embed_pipeline_warm_s"] = round(warm, 3)
+    if scf_wall is not None:
+        out["embedded_scf_wall_s"] = round(scf_wall, 3)
+
+
+def _stage_ccsd(out, details):
+    _alarm(1100)
+    ratio = bench_ccsd(details)
+    out["ccsd_f64_over_f32"] = round(ratio, 2)
+
+
+def _stage_jw(out, details):
+    _alarm(500)
+    n_terms, terms_per_s = bench_jw(details)
+    out["jw_terms"] = int(n_terms)
+    out["jw_terms_per_s"] = round(terms_per_s, 1)
+    if "jw28_terms_per_s" in details:
+        out["jw28_terms_per_s"] = details["jw28_terms_per_s"]
+
+
+def _stage_probe(out, details):
+    """Trivial compile + readback: is the device actually reachable?"""
+    _alarm(360)
+    import jax
+    import jax.numpy as jnp
+
+    dev = jax.devices()[0]
+    x = jnp.ones((8, 8))
+    val = float(jax.jit(lambda a: (a @ a).sum())(x))
+    assert abs(val - 512.0) < 1e-6
+    out["device"] = str(dev)
+    out["backend"] = jax.default_backend()
+
+
+_STAGES = {
+    "probe": (_stage_probe, 420),
+    "fock": (_stage_fock, 1800),
+    "pipeline": (_stage_pipeline, 2400),
+    "ccsd": (_stage_ccsd, 1400),
+    "jw": (_stage_jw, 700),
+}
+
+_MARK = "##BENCH_STAGE_RESULT## "
+
+
+def _run_stage_inprocess(stage):
+    """Child-process entry: run one stage, print a marked JSON line."""
     import nbed_tpu  # noqa: F401 — applies package config (jax_enable_x64)
 
+    fn, _ = _STAGES[stage]
+    out, details = {}, {}
+    try:
+        fn(out, details)
+        status = "ok"
+    except _Timeout:
+        status = "timeout(alarm)"
+    except Exception as exc:  # noqa: BLE001 — report, don't crash
+        status = f"error: {exc!r}"
+    finally:
+        signal.alarm(0)
+    print(_MARK + json.dumps({"status": status, "out": out,
+                              "details": details}), flush=True)
+
+
+def _run_stage_subprocess(stage, env=None):
+    """Hard-bounded stage run; survives native-wait wedges the in-process
+    SIGALRM guard cannot interrupt."""
+    _, budget = _STAGES[stage]
+    cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage]
+    try:
+        proc = subprocess.run(
+            cmd, stdout=subprocess.PIPE, stderr=None,
+            timeout=budget, env=env, text=True,
+        )
+    except subprocess.TimeoutExpired:
+        _log(f"{stage}: KILLED after {budget}s (hard timeout)")
+        return {"status": f"timeout({budget}s, killed)", "out": {},
+                "details": {}}
+    for line in reversed(proc.stdout.splitlines()):
+        if line.startswith(_MARK):
+            return json.loads(line[len(_MARK):])
+    return {"status": f"no result (rc={proc.returncode})", "out": {},
+            "details": {}}
+
+
+def main():
+    out = {"metric": "fock_build_gflops", "unit": "GFLOP/s",
+           "value": 0.0, "vs_baseline": 0.0}
     details = {}
-    out = {"metric": "fock_build_gflops", "unit": "GFLOP/s"}
 
-    try:
-        # generous: the remote tunnel's first post-compile readback can
-        # stall ~8 min cold (cached afterwards)
-        _alarm(1500)
-        gflops, speedup = bench_fock(details)
-        out["value"] = round(gflops, 3)
-        out["vs_baseline"] = round(speedup, 3)
-    except _Timeout:
-        details["fock_error"] = "timeout (420s)"
-        out["value"] = 0.0
-        out["vs_baseline"] = 0.0
-    finally:
-        signal.alarm(0)
+    env = dict(os.environ)
+    probe = _run_stage_subprocess("probe", env=env)
+    details["probe"] = probe["status"]
+    if probe["status"] != "ok":
+        # wedged/unreachable tunnel: fall back to CPU so the benchmark
+        # still reports real (if slower) numbers, honestly labeled
+        _log(f"probe failed ({probe['status']}); falling back to CPU")
+        env["JAX_PLATFORMS"] = "cpu"
+        # fully local compiles: bypass the axon sitecustomize + helper
+        env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+        env["PYTHONPATH"] = ""
+        out["backend"] = "cpu-fallback"
+    else:
+        out["backend"] = probe["out"].get("backend", "unknown")
+        details["device"] = probe["out"].get("device")
 
-    if not os.environ.get("NBED_BENCH_SKIP_PIPELINE"):
-        try:
-            _alarm(480)
-            _log("pipeline: running embed() cold")
-            cold, warm, scf_wall = bench_pipeline(details)
-            out["embed_pipeline_wall_s"] = round(cold, 3)
-            out["embed_pipeline_warm_s"] = round(warm, 3)
-            if scf_wall is not None:
-                out["embedded_scf_wall_s"] = round(scf_wall, 3)
-        except _Timeout:
-            details["embed_pipeline_error"] = "timeout (480s)"
-        except Exception as exc:  # record, keep the JSON line intact
-            details["embed_pipeline_error"] = repr(exc)
-        finally:
-            signal.alarm(0)
-
-    try:
-        _alarm(900)
-        ratio = bench_ccsd(details)
-        out["ccsd_f64_over_f32"] = round(ratio, 2)
-    except _Timeout:
-        details["ccsd_error"] = "timeout (900s)"
-    except Exception as exc:
-        details["ccsd_error"] = repr(exc)
-    finally:
-        signal.alarm(0)
-
-    try:
-        _alarm(300)
-        n_terms, terms_per_s = bench_jw(details)
-        out["jw_terms"] = int(n_terms)
-        out["jw_terms_per_s"] = round(terms_per_s, 1)
-        if "jw28_terms_per_s" in details:
-            out["jw28_terms_per_s"] = details["jw28_terms_per_s"]
-    except _Timeout:
-        details["jw_error"] = "timeout (300s)"
-    except Exception as exc:
-        details["jw_error"] = repr(exc)
-    finally:
-        signal.alarm(0)
+    stages = ["fock", "pipeline", "ccsd", "jw"]
+    if os.environ.get("NBED_BENCH_SKIP_PIPELINE"):
+        stages.remove("pipeline")
+    for stage in stages:
+        res = _run_stage_subprocess(stage, env=env)
+        if res["status"] != "ok":
+            details[f"{stage}_error"] = res["status"]
+        out.update(res["out"])
+        details.update(res["details"])
 
     print(json.dumps(out), flush=True)
     with open("bench_details.json", "w") as f:
@@ -376,4 +454,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 3 and sys.argv[1] == "--stage":
+        _run_stage_inprocess(sys.argv[2])
+    else:
+        main()

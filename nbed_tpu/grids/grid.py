@@ -239,8 +239,12 @@ def _becke_weights(points, owner, coords, bragg_radii, chunk=32768,
     formula on the plain radius ratio.
     """
     natm = coords.shape[0]
-    rij = jnp.linalg.norm(coords[:, None, :] - coords[None, :, :], axis=-1)
-    rij = rij + jnp.eye(natm)  # avoid 0 division on diagonal
+    # diagonal guard INSIDE the sqrt: norm(0) has a NaN gradient, and the
+    # 0-cotangent from the downstream where() can't cancel it (0 * NaN);
+    # sqrt(d^2 + eye) has identical values (diag 1) and finite derivatives,
+    # keeping build_grid differentiable in coords (KS nuclear gradients).
+    dvec = coords[:, None, :] - coords[None, :, :]
+    rij = jnp.sqrt(jnp.sum(dvec * dvec, axis=-1) + jnp.eye(natm))
     if adjust == "treutler":
         rad = jnp.sqrt(bragg_radii)
         chi = rad[:, None] / rad[None, :]

@@ -20,9 +20,13 @@ gradient (Pulay 1969) expressed as reverse-mode AD over the integral
 kernels instead of hand-derived derivative integrals: the vjp of the
 McMurchie-Davidson E/R tables *is* the derivative-integral recursion.
 
-Scope: HF only (``hyb=1``, no XC). KS gradients additionally need the
-quadrature-grid response (Becke weights move with the atoms); the grid
-builder is host-side numpy, so that path raises for now.
+KS gradients additionally need the quadrature-grid response — the Becke
+partition weights and grid points move with the atoms. Because
+:func:`nbed_tpu.grids.build_grid` and :func:`~nbed_tpu.grids.eval_aos` are
+themselves pure functions of the coordinates, that response comes from the
+same ``jax.grad``: the gradient is exactly consistent with the *discretized*
+energy surface (the thing a geometry optimizer actually descends), grid
+response included — no frozen-grid approximation.
 """
 
 from __future__ import annotations
@@ -41,10 +45,11 @@ from ..integrals import (
 )
 from ..scf import run_scf
 
-__all__ = ["hf_gradient", "optimize_geometry"]
+__all__ = ["hf_gradient", "ks_gradient", "optimize_geometry"]
 
 
-def _energy_functional(mol: Molecule, dm, w_tot, hyb: float):
+def _energy_functional(mol: Molecule, dm, w_tot, hyb: float, xc_name=None,
+                       grid_scheme: str = "reference", grid_level: int = 3):
     """Return E(x) with density/energy-weighted-density held fixed.
 
     ``dm``: (2, n, n) converged spin densities. ``w_tot``: (n, n) spin-summed
@@ -53,6 +58,15 @@ def _energy_functional(mol: Molecule, dm, w_tot, hyb: float):
     dm = jax.lax.stop_gradient(jnp.asarray(dm))
     w_tot = jax.lax.stop_gradient(jnp.asarray(w_tot))
     d_tot = dm[0] + dm[1]
+
+    # NOTE on w_tot: it must be built as W = sum_s D_s F(D)_s D_s from the
+    # Fock at the *converged density* (see _w_from_dm), NOT from the
+    # returned mo_energy: the SCF loop's final eigenpairs diagonalize the
+    # DIIS-extrapolated Fock, whose eigenvalues can sit ~1e-3 off the true
+    # KS/HF eigenvalues even when the density is converged to 1e-10 (the
+    # density can be symmetry-exact after one cycle while DIIS still mixes
+    # guess-era Focks). D F D is the occupied-block Lagrange-multiplier
+    # matrix exactly, with no eigendecomposition to go stale.
 
     def energy(x):
         h = kinetic(mol, x) + nuclear_attraction(mol, x)
@@ -67,10 +81,48 @@ def _energy_functional(mol: Molecule, dm, w_tot, hyb: float):
         ek = 0.5 * sum(
             jnp.einsum("ij,ikjl,kl", dm[s_], g, dm[s_]) for s_ in (0, 1)
         )
-        pulay = -jnp.sum(w_tot * s)
-        return e1 + ej - hyb * ek + pulay + mol.energy_nuc(x)
+        e = e1 + ej - hyb * ek - jnp.sum(w_tot * s) + mol.energy_nuc(x)
+        if xc_name is not None:
+            from ..dft.xc import make_xc_fn
+            from ..grids import build_grid, eval_aos
+
+            points, weights = build_grid(
+                mol, coords=x, scheme=grid_scheme, level=grid_level
+            )
+            ao, ao_grad = eval_aos(mol, points, coords=x)
+            exc, _ = make_xc_fn(ao, ao_grad, weights, xc_name)(dm)
+            e = e + exc
+        return e
 
     return energy
+
+
+def _w_from_dm(mol, x, dm, hyb: float, xc_name=None,
+               grid_scheme: str = "reference", grid_level: int = 3):
+    """Energy-weighted density W = sum_s D_s F(D)_s D_s at coords ``x``."""
+    dm = jnp.asarray(dm)
+    h = kinetic(mol, x) + nuclear_attraction(mol, x)
+    if mol.mm_coords is not None:
+        h = h + point_charge_attraction(
+            mol, mol.mm_coords, mol.mm_charges, mol.mm_radii, coords=x
+        )
+    g = eri_tensor(mol, x)
+    j = jnp.einsum("ijkl,kl->ij", g, dm[0] + dm[1])
+    k = jnp.stack(
+        [jnp.einsum("ikjl,kl->ij", g, dm[s_]) for s_ in (0, 1)]
+    )
+    f = h[None] + j[None] - hyb * k
+    if xc_name is not None:
+        from ..dft.xc import make_xc_fn
+        from ..grids import build_grid, eval_aos
+
+        points, weights = build_grid(
+            mol, coords=x, scheme=grid_scheme, level=grid_level
+        )
+        ao, ao_grad = eval_aos(mol, points, coords=x)
+        _, vxc = make_xc_fn(ao, ao_grad, weights, xc_name)(dm)
+        f = f + vxc
+    return sum(dm[s_] @ f[s_] @ dm[s_] for s_ in (0, 1))
 
 
 def hf_gradient(
@@ -110,14 +162,56 @@ def hf_gradient(
             max_cycle=max_cycle,
         )
     res = scf_result
-    # W_s = C_s diag(occ_s * eps_s) C_s^T, spin-summed.
-    w_tot = jnp.einsum(
-        "spi,si,si,sqi->pq", res.mo_coeff, res.mo_occ, res.mo_energy, res.mo_coeff
-    )
+    w_tot = _w_from_dm(mol, x, res.dm, hyb=1.0)
     energy = _energy_functional(mol, res.dm, w_tot, hyb=1.0)
     grad = jax.grad(energy)(x)
     e_tot = res.e_elec + mol.energy_nuc(x)
     return e_tot, grad, res
+
+
+def ks_gradient(
+    mol: Molecule,
+    xc: str,
+    coords=None,
+    solution=None,
+    grid_scheme: str = "reference",
+    grid_level: int = 3,
+    conv_tol: float = 1e-10,
+    dm_conv_tol: float = 1e-8,
+    max_cycle: int = 100,
+):
+    """Analytic nuclear gradient of the (U)KS total energy, grid response
+    included.
+
+    Returns ``(e_tot, grad, solution)``; ``solution`` may be a pre-converged
+    :class:`~nbed_tpu.scf.SCFSolution` (from ``SCFEngine(...).kernel()``) to
+    skip the SCF.
+    """
+    from ..dft.functionals import resolve_functional
+    from ..scf.engine import SCFEngine
+
+    x = jnp.asarray(mol.coords if coords is None else coords)
+    if solution is None:
+        solution = SCFEngine(
+            mol, xc=xc, coords=np.asarray(x),
+            grid_scheme=grid_scheme, grid_level=grid_level,
+            conv_tol=conv_tol, dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
+        ).kernel()
+    c = jnp.asarray(solution.mo_coeff)
+    occ = jnp.asarray(solution.mo_occ)
+    if c.ndim == 2:  # restricted-collapsed solution: occ counts electrons
+        dm = 0.5 * jnp.einsum("pi,i,qi->pq", c, occ, c)[None].repeat(2, 0)
+    else:
+        dm = jnp.einsum("spi,si,sqi->spq", c, occ, c)
+    _, hyb = resolve_functional(xc)
+    w_tot = _w_from_dm(mol, x, dm, hyb=hyb, xc_name=xc,
+                       grid_scheme=grid_scheme, grid_level=grid_level)
+    energy = _energy_functional(
+        mol, dm, w_tot, hyb=hyb, xc_name=xc,
+        grid_scheme=grid_scheme, grid_level=grid_level,
+    )
+    grad = jax.grad(energy)(x)
+    return solution.e_tot, grad, solution
 
 
 def optimize_geometry(

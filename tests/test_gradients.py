@@ -10,7 +10,8 @@ import numpy as np
 import pytest
 
 from nbed_tpu.chem import build_molecule
-from nbed_tpu.solvers.gradients import hf_gradient, optimize_geometry
+from nbed_tpu.scf.engine import SCFEngine
+from nbed_tpu.solvers.gradients import hf_gradient, ks_gradient, optimize_geometry
 
 H2_XYZ = "2\n\nH 0.0 0.0 0.0\nH 0.0 0.0 0.74\n"
 
@@ -53,6 +54,50 @@ def test_water_gradient_matches_finite_difference():
     fd = _fd_gradient(mol, mol.coords)
     assert np.allclose(np.asarray(grad), fd, atol=2e-7)
     assert np.max(np.abs(np.asarray(grad).sum(axis=0))) < 1e-9
+
+
+def _fd_ks(mol, xc, coords, picks, h=1e-4, **eng):
+    """Central differences of the engine KS energy on selected components."""
+    coords = np.asarray(coords, dtype=np.float64)
+    fd = {}
+    for a, k in picks:
+        es = []
+        for sgn in (+1, -1):
+            c = coords.copy()
+            c[a, k] += sgn * h
+            sol = SCFEngine(
+                mol, xc=xc, coords=c, conv_tol=1e-12, dm_conv_tol=1e-10,
+                max_cycle=200, **eng
+            ).kernel()
+            es.append(sol.e_tot)
+        fd[(a, k)] = (es[0] - es[1]) / (2 * h)
+    return fd
+
+
+def test_h2_lda_gradient_matches_finite_difference():
+    mol = build_molecule(H2_XYZ, "sto-3g")
+    e, grad, _ = ks_gradient(mol, "svwn", conv_tol=1e-12, dm_conv_tol=1e-10,
+                             max_cycle=200)
+    picks = [(0, 2), (1, 2)]
+    fd = _fd_ks(mol, "svwn", mol.coords, picks)
+    for a, k in picks:
+        assert abs(float(grad[a, k]) - fd[(a, k)]) < 1e-6
+    assert np.max(np.abs(np.asarray(grad).sum(axis=0))) < 1e-9
+
+
+@pytest.mark.slow
+def test_water_b3lyp_gradient_matches_finite_difference():
+    xyz = open("tests/molecules/water.xyz").read()
+    mol = build_molecule(xyz, "sto-3g")
+    e, grad, _ = ks_gradient(mol, "b3lyp", conv_tol=1e-12, dm_conv_tol=1e-10,
+                             max_cycle=200)
+    # UKS(B3LYP) oracle (grid-dependent to ~1e-6)
+    assert abs(float(e) - (-75.3091447400438)) < 5e-6
+    picks = [(0, 2), (1, 1), (2, 0)]
+    fd = _fd_ks(mol, "b3lyp", mol.coords, picks)
+    for a, k in picks:
+        assert abs(float(grad[a, k]) - fd[(a, k)]) < 1e-6
+    assert np.max(np.abs(np.asarray(grad).sum(axis=0))) < 1e-8
 
 
 def test_h2_geometry_optimization():
