@@ -13,6 +13,7 @@ TPU-native parallel dimensions for this domain are:
 
 from .sharding import (
     batched_hf_energies,
+    batched_hf_gradients,
     make_mesh,
     make_sharded_df_scf,
     make_sharded_scf,
@@ -21,4 +22,4 @@ from .sharding import (
 )
 
 __all__ = ["make_mesh", "make_sharded_scf", "sharded_scf", "make_sharded_df_scf",
-           "sharded_df_scf", "batched_hf_energies"]
+           "sharded_df_scf", "batched_hf_energies", "batched_hf_gradients"]

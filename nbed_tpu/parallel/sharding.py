@@ -212,3 +212,37 @@ def batched_hf_energies(mol: Molecule, coords_batch, mesh: Mesh | None = None,
     else:
         fn = jax.jit(fn)
     return fn(coords_batch)
+
+
+def batched_hf_gradients(mol: Molecule, coords_batch, mesh: Mesh | None = None,
+                         conv_tol: float = 1e-10, dm_conv_tol: float = 1e-8,
+                         max_cycle: int = 100):
+    """HF energies AND analytic nuclear gradients for a conformer batch.
+
+    Returns ``(e (B,), grad (B, natm, 3), converged (B,))`` from ONE
+    compiled program: each lane runs the jitted SCF while_loop and then the
+    reverse-mode gradient of the stationary energy functional
+    (:mod:`nbed_tpu.solvers.gradients`) — a batched force evaluation for
+    optimization/dynamics workloads, data-parallel over the mesh 'batch'
+    axis. No reference analogue (the reference has no gradients at all).
+    """
+    from ..solvers.gradients import hf_gradient
+
+    coords_batch = jnp.asarray(coords_batch)
+
+    def one(coords):
+        e, grad, res = hf_gradient(
+            mol, coords=coords, conv_tol=conv_tol,
+            dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
+        )
+        return e, grad, res.converged
+
+    fn = jax.vmap(one)
+    if mesh is not None:
+        s1 = NamedSharding(mesh, P("batch"))
+        s3 = NamedSharding(mesh, P("batch", None, None))
+        coords_batch = jax.device_put(coords_batch, s3)
+        fn = jax.jit(fn, out_shardings=(s1, s3, s1))
+    else:
+        fn = jax.jit(fn)
+    return fn(coords_batch)

@@ -37,6 +37,26 @@ def test_batched_conformers(water_molecule):
     assert np.all(np.diff(energies) > 0)
 
 
+def test_batched_gradients(water_molecule):
+    from nbed_tpu.parallel import batched_hf_gradients
+    from nbed_tpu.solvers.gradients import hf_gradient
+
+    mesh = make_mesh(8, batch=2)
+    base = np.asarray(water_molecule.coords)
+    coords = np.repeat(base[None], 4, axis=0)
+    coords[:, 2, 2] += np.linspace(0.0, 0.03, 4)
+    e, grad, conv = batched_hf_gradients(water_molecule, coords, mesh=mesh)
+    assert np.all(np.asarray(conv))
+    assert np.isclose(float(e[0]), -74.96099960129165, atol=1e-6)
+    # every lane matches the single-geometry gradient path
+    for b in (0, 3):
+        e1, g1, _ = hf_gradient(water_molecule, coords=coords[b])
+        assert np.isclose(float(e[b]), float(e1), atol=1e-10)
+        assert np.allclose(np.asarray(grad[b]), np.asarray(g1), atol=1e-9)
+    # translational invariance per lane
+    assert np.max(np.abs(np.asarray(grad).sum(axis=1))) < 1e-9
+
+
 def test_sharded_df_scf_partitions_and_matches(water_molecule, water_uhf):
     """Aux-sharded density-fitted SCF (the large-molecule multi-chip path):
     per-device B slabs are (n, n, naux_pad / n_model), the compiled program
