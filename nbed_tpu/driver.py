@@ -597,7 +597,8 @@ def _spin_expand_frozen(frozen):
     return out
 
 
-def run_emb_ccsd(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
+def run_emb_ccsd(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6,
+                 triples: bool = False):
     """Embedded CCSD on the (possibly truncated) embedded SCF solution.
 
     Returns (e_tot, e_corr); the spin-resolved embedded core Hamiltonian is
@@ -605,6 +606,8 @@ def run_emb_ccsd(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
     driver.py:1105-1135). ``frozen`` takes spatial MO indices; frozen
     occupied orbitals are folded in exactly (frozen core), frozen virtuals
     are dropped (reference cc.CCSD(frozen=...), driver.py:1127).
+    ``triples=True`` adds the perturbative (T) correction to both returns
+    (embedded CCSD(T)-in-DFT — beyond the reference).
     """
     hb = HamiltonianBuilder(scf_sol, 0.0)
     _, h1, h2 = hb.build()
@@ -616,7 +619,14 @@ def run_emb_ccsd(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
         e_shift, h1, h2, occ_mask = freeze_spinorbitals(
             0.0, h1, h2, _spin_expand_frozen(frozen), occ_mask
         )
-    e_corr, e_ref_elec = run_ccsd(h1, h2, occ_mask, conv_tol=convergence * 1e-2)
+    out = run_ccsd(h1, h2, occ_mask, conv_tol=convergence * 1e-2,
+                   triples=triples)
+    if triples:
+        e_corr, e_t, e_ref_elec = out
+        e_corr = e_corr + e_t
+        logger.info("Embedded (T) correction: %s", e_t)
+    else:
+        e_corr, e_ref_elec = out
     e_tot = e_shift + e_ref_elec + scf_sol.energy_nuc() + e_corr
     logger.info("Embedded CCSD correlation energy: %s", e_corr)
     return e_tot, e_corr

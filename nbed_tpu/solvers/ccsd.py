@@ -221,6 +221,69 @@ def _make_sweep(no: int, nv: int, diis_dim: int):
     return sweep
 
 
+@lru_cache(maxsize=8)
+def _make_triples_energy(no: int, nv: int, chunk: int = 128):
+    """Jitted spin-orbital (T) energy: lax.map over vmapped (i,j,k) chunks.
+
+    E(T) = (1/36) sum_{ijkabc} Rc * (Rc + Rd) / D with
+    D Rc = P(i/jk) P(a/bc) [ sum_e t2[jk,ae] <ei||bc>
+                             - sum_m t2[im,bc] <ma||jk> ]
+    D Rd = P(i/jk) P(a/bc) [ t1[ia] <jk||bc> ]
+    (canonical-reference CCSD(T)).  The (nv,nv,nv) work blocks are built
+    per occupied triple — full t3 storage is O(no^3 nv^3) and never
+    materialized — with ``chunk`` triples vmapped per lax.map step so the
+    contractions stay MXU-shaped.
+    """
+    o = slice(0, no)
+    v = slice(no, no + nv)
+
+    def make(fock, w, t1, t2):
+        eps = jnp.diag(fock)
+        eps_o, eps_v = eps[:no], eps[no:]
+        w_vovv = w[v, o, v, v]
+        w_ovoo = w[o, v, o, o]
+        w_oovv = w[o, o, v, v]
+        d_abc = (eps_v[:, None, None] + eps_v[None, :, None]
+                 + eps_v[None, None, :])
+
+        def p_abc(x):
+            return x - jnp.transpose(x, (1, 0, 2)) - jnp.transpose(x, (2, 1, 0))
+
+        def conn(i, j, k):
+            x = jnp.einsum("ae,ebc->abc", t2[j, k], w_vovv[:, i])
+            x = x - jnp.einsum("mbc,ma->abc", t2[i], w_ovoo[:, :, j, k])
+            return p_abc(x)
+
+        def disc(i, j, k):
+            return p_abc(t1[i][:, None, None] * w_oovv[j, k][None, :, :])
+
+        def one_triple(idx):
+            i = idx // (no * no)
+            j = (idx // no) % no
+            k = idx % no
+            rc = conn(i, j, k) - conn(j, i, k) - conn(k, j, i)
+            rd = disc(i, j, k) - disc(j, i, k) - disc(k, j, i)
+            d = eps_o[i] + eps_o[j] + eps_o[k] - d_abc
+            return jnp.sum(rc * (rc + rd) / d)
+
+        n_tr = no * no * no
+        n_chunks = -(-n_tr // chunk)
+        idx = jnp.arange(n_chunks * chunk) % n_tr  # pad with repeats
+        valid = (jnp.arange(n_chunks * chunk) < n_tr).astype(w.dtype)
+
+        def body(args):
+            ii, vv = args
+            return jnp.sum(jax.vmap(one_triple)(ii) * vv)
+
+        parts = jax.lax.map(
+            body, (idx.reshape(n_chunks, chunk),
+                   valid.reshape(n_chunks, chunk))
+        )
+        return jnp.sum(parts) / 36.0
+
+    return jax.jit(make)
+
+
 def _resolve_precision(precision: str) -> str:
     if precision != "auto":
         return precision
@@ -233,7 +296,7 @@ def _resolve_precision(precision: str) -> str:
 
 def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
              max_cycle: int = 100, precision: str = "auto",
-             diis_dim: int = 6):
+             diis_dim: int = 6, triples: bool = False):
     """CCSD correlation energy from spin-orbital integrals.
 
     Args:
@@ -245,10 +308,14 @@ def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
             ~1e-5-grade), ``"mixed"`` (f32 sweep then f64 polish — the TPU
             hot path), or ``"auto"`` (mixed on TPU, f64 elsewhere).
         diis_dim: on-device DIIS ring-buffer length.
+        triples: also compute the perturbative (T) correction from the
+            converged amplitudes (beyond the reference, which delegates
+            plain CCSD to PySCF — reference driver.py:1105-1135).
 
     Returns:
-        (e_corr, e_hf_elec): correlation energy and the reference
-        (mean-field) electronic energy implied by the integrals.
+        (e_corr, e_hf_elec) — correlation energy and the reference
+        (mean-field) electronic energy implied by the integrals; with
+        ``triples=True``: (e_corr, e_t, e_hf_elec).
     """
     occ = np.where(occ_mask)[0]
     vir = np.where(~np.asarray(occ_mask))[0]
@@ -291,6 +358,11 @@ def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
             if not bool(conv):
                 logger.warning("CCSD (f32) did NOT converge in %d cycles.",
                                max_cycle)
+            if triples:
+                e_t = _make_triples_energy(no, nv)(
+                    *ops64[:2], t1.astype(jnp.float64),
+                    t2.astype(jnp.float64))
+                return float(e32), float(e_t), float(e_ref)
             return float(e32), float(e_ref)
 
     t1_, t2_, e_corr, rmax, n_it, conv = sweep(
@@ -302,4 +374,8 @@ def run_ccsd(so_h1, so_h2, occ_mask, conv_tol: float = 1e-8,
                      int(n_it), precision)
     else:
         logger.warning("CCSD did NOT converge in %d cycles.", max_cycle)
+    if triples:
+        e_t = _make_triples_energy(no, nv)(*ops64[:2], t1_, t2_)
+        logger.debug("(T) correction: %s", float(e_t))
+        return float(e_corr), float(e_t), float(e_ref)
     return float(e_corr), float(e_ref)

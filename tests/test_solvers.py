@@ -63,3 +63,51 @@ def test_ccsd_mixed_precision_matches_f64(water_uhf):
     # the f32 sweep alone must already be ~1e-5-grade (seeding quality)
     e32, _ = run_ccsd(h1, h2, occ, conv_tol=1e-10, precision="f32")
     assert abs(e32 - e64) < 5e-5
+
+
+def test_ccsd_t_vanishes_for_two_electrons():
+    """No triples exist for 2 electrons: (T) must be identically zero,
+    a sharp check of the P(i/jk)/P(a/bc) permutational structure."""
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule("2\n\nH 0.0 0.0 0.0\nH 0.0 0.0 0.74\n", "6-31g")
+    sol = SCFEngine(mol, conv_tol=1e-12, dm_conv_tol=1e-10).kernel()
+    const, h1, h2 = HamiltonianBuilder(sol, 0).build()
+    e_corr, e_t, e_ref = run_ccsd(h1, h2, _interleaved_occ(sol),
+                                  conv_tol=1e-12, triples=True,
+                                  precision="f64")
+    assert abs(e_t) < 1e-14
+
+
+def test_ccsd_t_improves_on_ccsd_vs_fci():
+    """LiH/STO-3G: (T) must close most of the CCSD-FCI gap."""
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule("2\n\nLi 0.0 0.0 0.0\nH 0.0 0.0 1.60\n", "sto-3g")
+    sol = SCFEngine(mol, conv_tol=1e-12, dm_conv_tol=1e-10).kernel()
+    const, h1, h2 = HamiltonianBuilder(sol, 0).build()
+    vals, _ = run_fci(const, h1, h2, h1.shape[0], (2, 2))
+    e_corr, e_t, e_ref = run_ccsd(h1, h2, _interleaved_occ(sol),
+                                  conv_tol=1e-12, triples=True,
+                                  precision="f64")
+    err_ccsd = abs(e_ref + e_corr - vals[0])
+    err_t = abs(e_ref + e_corr + e_t - vals[0])
+    assert err_t < 0.35 * err_ccsd  # measured: 1.06e-5 -> 2.1e-6
+    assert err_t < 5e-6
+
+
+def test_ccsd_t_water_vs_fci_oracle(water_uhf):
+    """Water/STO-3G full space: CCSD(T) total sits between CCSD and the
+    reference FCI oracle (CCSD err 1.14e-4 -> CCSD(T) err 4.6e-5)."""
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    e_corr, e_t, e_ref = run_ccsd(h1, h2, _interleaved_occ(water_uhf),
+                                  conv_tol=1e-10, triples=True,
+                                  precision="f64")
+    fci = -75.00912605315143  # reference tests/test_driver.py:76
+    e_nuc = water_uhf.energy_nuc()
+    err_ccsd = abs(e_ref + e_nuc + e_corr - fci)
+    err_t = abs(e_ref + e_nuc + e_corr + e_t - fci)
+    assert e_t < 0  # (T) lowers the energy here
+    assert err_t < 0.5 * err_ccsd
