@@ -67,6 +67,23 @@ def test_embedded_ccsd(driver, request):
     assert np.isclose(result["e_ccsd"], -75.1285849238916, atol=1e-5)
 
 
+@pytest.mark.parametrize("driver", ["mu_driver"])
+def test_embedded_ccsd_t(driver, request):
+    """Embedded CCSD(T)-in-DFT (beyond the reference): the (T) correction
+    on the embedded active space is small and negative, and the total
+    stays within the embedded-oracle neighborhood."""
+    from nbed_tpu.driver import run_emb_ccsd
+
+    driver = request.getfixturevalue(driver)
+    result = getattr(driver, driver.config.projector.value)
+    sol = result["scf"]
+    e_ccsd, _ = run_emb_ccsd(sol, convergence=1e-8)
+    e_ccsdt, corr_t = run_emb_ccsd(sol, convergence=1e-8, triples=True)
+    e_t = e_ccsdt - e_ccsd
+    assert e_t < 0
+    assert abs(e_t) < 1e-3
+
+
 @pytest.mark.parametrize("driver", ["mu_driver", "huz_driver"])
 def test_embedded_fci(driver, request):
     driver = request.getfixturevalue(driver)
