@@ -164,16 +164,34 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
     dc, dx, dz = tables(dag)
     ac, ax, az = tables(ann)
 
+    # JW ladder scalars are real (+-1/2): with real integrals every
+    # intermediate coefficient is real, and float64 halves the memory
+    # traffic of the sort/gather/segment-sum pipeline vs complex128.
+    cdt = (np.float64
+           if mapping == "jw"
+           and not np.iscomplexobj(h1) and not np.iscomplexobj(h2)
+           else np.complex128)
+
     all_x, all_z, all_c = [], [], []
 
     def accumulate(coeffs, modes, flavors):
-        """Sum_terms coeff * prod_f op_f(mode_f); vectorised over terms."""
+        """Sum_terms coeff * prod_f op_f(mode_f); vectorised over terms.
+
+        One preallocated (n_combos * t_count) block per call, combos
+        written into slices in place — no per-combo temporaries and no
+        wide concatenate at the end.
+        """
         t_count = len(coeffs)
         if t_count == 0:
             return
-        coeffs = np.asarray(coeffs, dtype=complex)
+        coeffs = np.asarray(coeffs, dtype=cdt)
         n_f = len(modes)
-        for combo in range(2 ** n_f):
+        n_combo = 2 ** n_f
+        xblk = np.empty(n_combo * t_count, dtype=np.int64)
+        zblk = np.empty(n_combo * t_count, dtype=np.int64)
+        cblk = np.empty(n_combo * t_count, dtype=cdt)
+        for combo in range(n_combo):
+            sl = slice(combo * t_count, (combo + 1) * t_count)
             x_acc = np.zeros(t_count, dtype=np.int64)
             z_acc = np.zeros(t_count, dtype=np.int64)
             par = np.zeros(t_count, dtype=np.int64)
@@ -186,11 +204,15 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
                 scal *= complex(cS[k])
                 x_acc ^= tx[k][m]
                 z_acc ^= tz[k][m]
-            cc = coeffs * scal
+            cc = cblk[sl]
+            np.multiply(coeffs, scal.real if cdt == np.float64 else scal,
+                        out=cc)
             np.negative(cc, out=cc, where=par.astype(bool))
-            all_x.append(x_acc)
-            all_z.append(z_acc)
-            all_c.append(cc)
+            xblk[sl] = x_acc
+            zblk[sl] = z_acc
+        all_x.append(xblk)
+        all_z.append(zblk)
+        all_c.append(cblk)
 
     p1, q1 = np.nonzero(np.abs(h1) > tol)
     accumulate(h1[p1, q1], (p1, q1), (True, False))
@@ -198,13 +220,18 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
     accumulate(h2[idx], idx, (True, True, False, False))
 
     if all_x:
-        c_cat = np.concatenate(all_c)
+        c_cat = np.concatenate(all_c) if len(all_c) > 1 else all_c[0]
         if n <= 31:
             # pack (x, z) into one int64 key: a single radix argsort beats
             # lexsort + double gather on multi-million-string registers
-            keys = np.concatenate(
-                [(x << np.int64(32)) | z for x, z in zip(all_x, all_z)]
-            )
+            def pack(x, z):
+                k = np.left_shift(x, np.int64(32))
+                np.bitwise_or(k, z, out=k)
+                return k
+
+            keys = (np.concatenate([pack(x, z) for x, z
+                                    in zip(all_x, all_z)])
+                    if len(all_x) > 1 else pack(all_x[0], all_z[0]))
             order = np.argsort(keys, kind="stable")
             keys_s = keys[order]
             cs_s = c_cat[order]
@@ -229,7 +256,10 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
             xs_u = xs_s[starts][keep].tolist()
             zs_u = zs_s[starts][keep].tolist()
         # bulk dict build (C-speed); the constant is summed in afterwards
-        out.terms.update(zip(zip(xs_u, zs_u), sums[keep].tolist()))
+        vals = sums[keep]
+        if cdt == np.float64:
+            vals = vals.astype(np.complex128)
+        out.terms.update(zip(zip(xs_u, zs_u), vals.tolist()))
     out.add(complex(constant), 0, 0)
     return out.compress(tol)
 
