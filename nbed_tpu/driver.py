@@ -346,10 +346,20 @@ class NbedDriver:
                 # open shell: per-spin environment sizes differ
                 n_env = (len(inds[0]), len(inds[1]))
             else:
-                # reference semantics: union of the spin index sets
-                # (reference driver.py:671-676)
-                u = len(set(inds[0].tolist()) | set(inds[1].tolist()))
-                n_env = (u, u)
+                # Per-spin counts. The reference takes the union of the two
+                # spin index sets (reference driver.py:671-676), which is
+                # identical to the per-spin count in every case the
+                # reference can reach: its occupied localizer re-localizes
+                # with summed occupancies to force equal alpha/beta
+                # partitions (reference occupied/base.py:107-130), so the
+                # sets coincide. With faithfully unequal spin partitions
+                # (spin>=2: equal env COUNTS but different env INDICES,
+                # e.g. triplet CH2 SPADE: alpha env {3,4}, beta env {1,2})
+                # the union over-counts and deletes legitimate virtuals —
+                # differently for mu (drops from the top) and huzinaga
+                # (drops by env overlap), driving the projectors ~1 Ha
+                # apart on the embedded FCI.
+                n_env = (inds.shape[-1], inds.shape[-1])
             parts = [
                 _delete_spin_environment(
                     projector, n_env[s], sol.mo_coeff[s], sol.mo_energy[s],

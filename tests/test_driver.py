@@ -317,3 +317,54 @@ def test_open_shell_concentric_localization():
     huz = nbed(projector="huzinaga", virtual_localization="cl", **common)
     assert huz.huzinaga["scf"].converged
     assert abs(huz.huzinaga["e_fci"] - cl.mu["e_fci"]) < 1e-3
+
+
+TRIPLET_CH2 = """3
+
+C   0.0000  0.0000  0.0000
+H   0.9910  0.0000  -0.4210
+H   -0.9910  0.0000  -0.4210
+"""
+
+
+def test_triplet_embedding_end_to_end():
+    """Triplet methylene (spin=2): the open-shell machinery beyond
+    doublets — unequal alpha/beta partitions two electrons apart,
+    spin-resolved subsystem DFT, per-spin environment deletion, embedded
+    FCI — and projector agreement. (CL on top of a ragged triplet space
+    is covered by the doublet CL test; at this tiny system CL's shell
+    SVD sits on a degenerate singular value and the kept-virtual count
+    is not stable.)  (A homonuclear
+    diatomic like O2 split down the middle is NOT a valid case: SPADE's
+    singular values pair up degenerately on the shared bond and the
+    partition is ill-posed.)"""
+    from nbed_tpu import nbed
+
+    xyz = TRIPLET_CH2
+    common = dict(geometry=xyz, n_active_atoms=1, basis="STO-3G",
+                  xc_functional="b3lyp", localization="spade", spin=2,
+                  run_fci_emb=True)
+    mu = nbed(projector="mu", **common)
+    sol = mu.mu["scf"]
+    assert sol.converged
+    na, nb = sol.nelec
+    assert na == nb + 2  # triplet sector preserved through embedding
+    # per-spin MO sets S-orthonormal after env deletion + CL surgery
+    s = np.asarray(sol.engine.s)
+    for sp in range(2):
+        c = np.asarray(sol.mo_coeff)[sp]
+        g = c.T @ s @ c
+        np.testing.assert_allclose(g, np.eye(g.shape[0]), atol=1e-8)
+    # partition identity holds for the spin-polarized subsystem DFT
+    total = (mu.e_act + mu.e_env + mu.two_e_cross
+             + mu._ks_engine.energy_nuc())
+    assert np.isclose(total, mu._global_ks.e_tot, atol=1e-10)
+
+    # per-spin env deletion must keep the full per-channel spaces: with
+    # equal env COUNTS but different env INDICES the union rule deleted
+    # legitimate virtuals (fixed: driver.py _delete_environment)
+    assert np.asarray(sol.mo_coeff).shape == (2, 7, 5)
+
+    huz = nbed(projector="huzinaga", **common)
+    assert huz.huzinaga["scf"].converged
+    assert abs(huz.huzinaga["e_fci"] - mu.mu["e_fci"]) < 1e-5
