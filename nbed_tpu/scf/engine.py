@@ -607,3 +607,23 @@ class SCFSolution:
         # pyscf KS energy_elec returns e2 = ecoul + exc as second element
         e2 = veff.ecoul + veff.exc
         return float(e1 + e2), float(e2)
+
+    def spin_square(self):
+        """(<S^2>, 2S+1) of the (broken-symmetry) determinant — the UHF
+        spin-contamination diagnostic (beyond the reference, which never
+        surfaces it although its driver is always unrestricted):
+        <S^2> = S_z(S_z+1) + N_beta - sum_ij |<phi_i^a|S|phi_j^b>|^2
+        over occupied orbitals."""
+        c = np.asarray(self.mo_coeff)
+        occ = np.asarray(self.mo_occ)
+        if c.ndim == 2:  # restricted-collapsed: a pure singlet/high-spin CSF
+            ca = cb = c[:, occ > 0.5]
+        else:
+            ca = c[0][:, occ[0] > 0.5]
+            cb = c[1][:, occ[1] > 0.5]
+        s = np.asarray(self.engine.s)
+        ovlp = ca.T @ s @ cb
+        na, nb = ovlp.shape
+        sz = 0.5 * (na - nb)
+        s2 = sz * (sz + 1.0) + nb - float(np.sum(ovlp * ovlp))
+        return float(s2), 2.0 * np.sqrt(s2 + 0.25)

@@ -232,3 +232,32 @@ def test_huzinaga_restricted_matches_unrestricted(huz_inputs):
                      np.stack([v_emb[0]] * 2), dm_env, nelec=(4, 4))
     assert np.allclose(r[1], u[1][0], atol=1e-8)  # mo energies
     assert np.allclose(r[2], u[2][0] + u[2][1], atol=1e-8)  # total density
+
+
+def test_spin_square_diagnostics():
+    """<S^2>: exact 0 for closed-shell water; ~0.75/~2.0 (+ small UHF
+    contamination) for the methyl-radical doublet / methylene triplet."""
+    from pathlib import Path
+
+    import numpy as np
+
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.scf.engine import SCFEngine
+
+    water = open(Path(__file__).parent / "molecules" / "water.xyz").read()
+    s2, mult = SCFEngine(build_molecule(water, "sto-3g"),
+                         conv_tol=1e-10).kernel().spin_square()
+    assert abs(s2) < 1e-8 and abs(mult - 1.0) < 1e-8
+
+    ch3 = open(Path(__file__).parent / "molecules" /
+               "methyl_radical.xyz").read()
+    s2, mult = SCFEngine(build_molecule(ch3, "sto-3g", spin=1),
+                         conv_tol=1e-10).kernel().spin_square()
+    assert 0.75 <= s2 < 0.80  # doublet + small contamination
+    assert abs(mult - 2.0) < 0.05
+
+    ch2 = "3\n\nC 0.0 0.0 0.0\nH 0.991 0.0 -0.421\nH -0.991 0.0 -0.421\n"
+    s2, mult = SCFEngine(build_molecule(ch2, "sto-3g", spin=2),
+                         conv_tol=1e-10).kernel().spin_square()
+    assert 2.0 <= s2 < 2.05
+    assert abs(mult - 3.0) < 0.05
