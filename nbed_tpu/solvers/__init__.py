@@ -8,6 +8,7 @@ spin-orbital einsum implementation jitted end-to-end.
 """
 
 from .ccsd import run_ccsd
+from .mp2 import run_mp2
 from .fci import run_fci, sector_hamiltonian
 
-__all__ = ["run_fci", "run_ccsd", "sector_hamiltonian"]
+__all__ = ["run_fci", "run_ccsd", "run_mp2", "sector_hamiltonian"]

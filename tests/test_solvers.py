@@ -111,3 +111,21 @@ def test_ccsd_t_water_vs_fci_oracle(water_uhf):
     err_t = abs(e_ref + e_nuc + e_corr + e_t - fci)
     assert e_t < 0  # (T) lowers the energy here
     assert err_t < 0.5 * err_ccsd
+
+
+def test_mp2_between_zero_and_fci(water_uhf):
+    """Water/STO-3G: MP2 recovers a large fraction of (but not more than)
+    the FCI correlation, and is consistent with the same reference energy
+    as CCSD."""
+    from nbed_tpu.solvers import run_mp2
+
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    occ = _interleaved_occ(water_uhf)
+    e_mp2, e_ref = run_mp2(h1, h2, occ)
+    e_corr_fci = -75.00912605315143 - (e_ref + water_uhf.energy_nuc())
+    assert e_mp2 < 0
+    assert 0.5 * abs(e_corr_fci) < abs(e_mp2) < abs(e_corr_fci)
+    # MP2 == the CCSD initial doubles energy: both solvers must agree on
+    # the mean-field reference
+    e_ccsd, e_ref_ccsd = run_ccsd(h1, h2, occ, conv_tol=1e-10)
+    assert np.isclose(e_ref, e_ref_ccsd, atol=1e-10)
