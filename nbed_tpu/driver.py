@@ -28,6 +28,7 @@ from .config import (
     VirtualLocalizerTypes,
 )
 from .chem import build_molecule
+from .exceptions import NbedDriverError
 from .ham.builder import HamiltonianBuilder
 from .localizers import (
     BOYSLocalizer,
@@ -364,6 +365,7 @@ class NbedDriver:
                 _delete_spin_environment(
                     projector, n_env[s], sol.mo_coeff[s], sol.mo_energy[s],
                     sol.mo_occ[s], env_projector[s],
+                    n_extra_virt=max(n_env) - n_env[s],
                 )
                 for s in (0, 1)
             ]
@@ -581,9 +583,18 @@ class _EnergyResult:
 
 
 def _delete_spin_environment(projector, n_env_mo, mo_coeff, mo_energy, mo_occ,
-                             environment_projector):
+                             environment_projector, n_extra_virt: int = 0):
     """Drop the environment MOs of one spin channel
-    (reference driver.py:713-791)."""
+    (reference driver.py:713-791).
+
+    ``n_extra_virt`` additionally truncates that many highest-energy
+    *legitimate* virtuals — used to equalize per-spin column counts when a
+    spin-asymmetric partition yields ragged environment sizes (the MO stack
+    is rectangular).  Strictly milder than the reference's union rule
+    (reference driver.py:671-676), which deletes the union count from BOTH
+    spins by the env ranking and so removes legitimate virtuals *by the
+    wrong criterion*.
+    """
     if projector is ProjectorTypes.HUZ:
         overlap = np.einsum(
             "ij,ki->i", mo_coeff.swapaxes(-1, -2), environment_projector @ mo_coeff
@@ -592,6 +603,18 @@ def _delete_spin_environment(projector, n_env_mo, mo_coeff, mo_energy, mo_occ,
     else:  # MU: level-shifted orbitals end up highest
         shift = mo_coeff.shape[-1] - n_env_mo
         frozen = list(range(shift, mo_coeff.shape[-1]))
+
+    if n_extra_virt:
+        candidates = [
+            i for i in np.argsort(mo_energy)[::-1]
+            if i not in frozen and mo_occ[i] == 0
+        ]
+        if len(candidates) < n_extra_virt:
+            raise NbedDriverError(
+                "Cannot equalize spin channels: not enough virtual orbitals "
+                f"to truncate ({len(candidates)} < {n_extra_virt})."
+            )
+        frozen.extend(int(i) for i in candidates[:n_extra_virt])
 
     active = [i for i in range(mo_coeff.shape[-1]) if i not in frozen]
     logger.info("Orbital indices for embedded system: %s", active)

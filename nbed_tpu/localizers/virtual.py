@@ -81,15 +81,34 @@ class ConcentricLocalizer(VirtualLocalizer):
         spinless = mo_coeff.ndim == 2
 
         if spinless:
-            c_new, shells, sv = self._localize_virtual_spin(mo_occ, mo_coeff, fock if fock.ndim == 2 else fock[0])
+            c_new, shells, sv, _ = self._localize_virtual_spin(mo_occ, mo_coeff, fock if fock.ndim == 2 else fock[0])
             scf.mo_coeff = c_new
             scf.mo_occ = mo_occ[: c_new.shape[-1]]
             scf.mo_energy = np.asarray(scf.mo_energy)[: c_new.shape[-1]]
             self.shells = shells
             self.singular_values = sv
         else:
-            ca, sh_a, sv_a = self._localize_virtual_spin(mo_occ[0], mo_coeff[0], fock[0])
-            cb, sh_b, sv_b = self._localize_virtual_spin(mo_occ[1], mo_coeff[1], fock[1])
+            ca, sh_a, sv_a, rem_a = self._localize_virtual_spin(mo_occ[0], mo_coeff[0], fock[0])
+            cb, sh_b, sv_b, rem_b = self._localize_virtual_spin(mo_occ[1], mo_coeff[1], fock[1])
+            # Spin-asymmetric partitions can retain different per-spin
+            # column counts (ragged CL).  The MO stack is rectangular, so
+            # equalize by UN-truncating the narrower channel: append its own
+            # leading kernel columns (S-orthonormal rotations of its virtual
+            # space that CL would otherwise discard).  Strictly less
+            # truncation for that spin — never worse than the ragged intent.
+            # (Unreachable in the reference: its localizer force-equalizes
+            # spin partitions, occupied/base.py:107-130.)
+            if ca.shape[-1] != cb.shape[-1]:
+                target = max(ca.shape[-1], cb.shape[-1])
+                if ca.shape[-1] < target:
+                    ca = np.concatenate((ca, rem_a[:, : target - ca.shape[-1]]), axis=-1)
+                    sh_a = sh_a + [ca.shape[-1]]
+                else:
+                    cb = np.concatenate((cb, rem_b[:, : target - cb.shape[-1]]), axis=-1)
+                    sh_b = sh_b + [cb.shape[-1]]
+                logger.debug(
+                    "Ragged per-spin CL truncation equalized to %d columns.", target
+                )
             scf.mo_coeff = np.array([ca, cb])
             scf.mo_occ = np.asarray(scf.mo_occ)[:, : ca.shape[-1]]
             scf.mo_energy = np.asarray(scf.mo_energy)[:, : ca.shape[-1]]
@@ -98,7 +117,13 @@ class ConcentricLocalizer(VirtualLocalizer):
         return scf
 
     def _localize_virtual_spin(self, occ, mo_coeff, fock_operator):
-        """One spin channel (reference concentric.py:123-262)."""
+        """One spin channel (reference concentric.py:123-262).
+
+        Returns ``(c_total, shells, singular_values, c_remainder)`` where
+        ``c_remainder`` holds the S-orthonormal kernel columns CL discarded
+        (empty unless truncation happened) — used to equalize ragged
+        per-spin truncations in :meth:`localize_virtual`.
+        """
         effective_virt = mo_coeff[:, occ == 0]
         left = np.linalg.inv(self.projected_overlap) @ self.overlap_two_basis @ effective_virt
         _, sigma, vt = np.linalg.svd(left.T @ self.overlap_two_basis @ effective_virt)
@@ -112,6 +137,7 @@ class ConcentricLocalizer(VirtualLocalizer):
         c_iker = effective_virt @ v_ker
         c_total = np.concatenate((c_total, c_ispan), axis=-1)
         shells = [c_total.shape[-1]]
+        c_rem = c_iker[:, :0]
 
         if v_ker.shape[-1] == 0:
             logger.debug("No kernel for 0th shell; CL complete.")
@@ -133,6 +159,9 @@ class ConcentricLocalizer(VirtualLocalizer):
                 shells.append(c_total.shape[-1])
                 if v_ker.shape[-1] > 1:
                     c_iker = c_iker @ v_ker
+                    if ishell == self.max_shells - 1:
+                        # loop exhausted: these kernel columns are dropped
+                        c_rem = c_iker
                 elif v_ker.shape[-1] == 1:
                     c_iker = c_iker @ v_ker
                     c_total = np.concatenate((c_total, c_iker), axis=-1)
@@ -140,7 +169,7 @@ class ConcentricLocalizer(VirtualLocalizer):
                     break
                 else:
                     break
-        return c_total, shells, singular_values
+        return c_total, shells, singular_values, c_rem
 
 
 class PAOLocalizer(VirtualLocalizer):

@@ -368,3 +368,73 @@ def test_triplet_embedding_end_to_end():
     huz = nbed(projector="huzinaga", **common)
     assert huz.huzinaga["scf"].converged
     assert abs(huz.huzinaga["e_fci"] - mu.mu["e_fci"]) < 1e-5
+
+
+def test_ragged_spin_environment_deletion():
+    """Stress test: spin-asymmetric SPADE partitions with genuinely DIFFERENT
+    per-spin environment counts (O2 triplet / 6-31G, 1 active atom: the env
+    holds 4 alpha but only 2 beta orbitals).  The reference's union rule
+    (reference driver.py:671-676) would over-delete both spins by the wrong
+    ranking; here each spin deletes exactly its own environment and the
+    narrower-env spin truncates its highest legit virtuals to keep the MO
+    stack rectangular.  CL then exercises the ragged-truncation equalizer
+    (kernel-column extension).  PROGRESS round-3 worklist item."""
+    from pathlib import Path
+
+    from nbed_tpu import nbed
+
+    xyz = str(Path(__file__).parent / "molecules" / "o2.xyz")
+    common = dict(geometry=xyz, n_active_atoms=1, basis="6-31G", spin=2,
+                  xc_functional="b3lyp", localization="spade",
+                  virtual_localization="cl", run_ccsd_emb=True)
+    mu = nbed(projector="mu", **common)
+    scf = mu.mu["scf"]
+    assert scf.converged
+    c = np.asarray(scf.mo_coeff)
+    assert c.ndim == 3 and c.dtype == np.float64  # rectangular, not object
+    # per-spin MO sets stay S-orthonormal through deletion + CL surgery
+    s = np.asarray(scf.engine.s)
+    for sp in range(2):
+        g = c[sp].T @ s @ c[sp]
+        np.testing.assert_allclose(g, np.eye(g.shape[0]), atol=1e-8)
+    # electron counts preserved per spin
+    occ = np.asarray(scf.mo_occ)
+    na, nb = scf.nelec
+    assert occ[0].sum() == na and occ[1].sum() == nb
+    # the ragged CL equalizer recorded the extension shell on one spin
+    sh_a, sh_b = mu.mu["cl"].shells
+    assert sh_a[-1] == sh_b[-1] == c.shape[-1]
+
+    huz = nbed(projector="huzinaga", **common)
+    assert huz.huzinaga["scf"].converged
+    # both projectors land on the same embedded CCSD energy (truncated
+    # spaces differ slightly by ranking, so the bound is loose)
+    assert abs(huz.huzinaga["e_ccsd"] - mu.mu["e_ccsd"]) < 5e-3
+
+
+def test_delete_spin_environment_extra_virtuals():
+    """Unit test of the rectangularizing extra-virtual truncation."""
+    from nbed_tpu.driver import _delete_spin_environment
+
+    rng = np.random.default_rng(7)
+    n = 8
+    mo_coeff = rng.normal(size=(n, n))
+    mo_energy = np.arange(n, dtype=float)
+    mo_occ = np.array([1.0, 1.0, 1.0, 0.0, 0.0, 0.0, 0.0, 0.0])
+    # MU path: 2 env (top) + 1 extra virtual (next-highest legit virtual)
+    c, e, o = _delete_spin_environment(
+        ProjectorTypes.MU, 2, mo_coeff, mo_energy, mo_occ, None,
+        n_extra_virt=1,
+    )
+    assert c.shape == (n, 5)
+    # kept: occupied 0,1,2 and the two lowest virtuals 3,4
+    np.testing.assert_array_equal(e, [0.0, 1.0, 2.0, 3.0, 4.0])
+    assert o.sum() == 3.0
+    # never deletes occupied orbitals even when virtuals run out
+    from nbed_tpu.exceptions import NbedDriverError
+
+    with pytest.raises(NbedDriverError):
+        _delete_spin_environment(
+            ProjectorTypes.MU, 2, mo_coeff, mo_energy, mo_occ, None,
+            n_extra_virt=4,
+        )
