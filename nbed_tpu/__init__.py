@@ -20,6 +20,8 @@ TPU-first:
 - solvers: exact-diagonalisation FCI and spin-orbital CCSD reference solvers.
 - driver/embed: the projection-based-embedding pipeline with mu-shift and
   Huzinaga projectors (reference driver.py), exposed via ``nbed(config)``.
+- properties: dipole moments and Mulliken/Löwdin population analysis on
+  global or embedded SCF solutions (diagnostics beyond the reference).
 
 Float64 is enabled globally: quantum chemistry needs ~1e-10 in intermediate
 linear algebra to hit 1e-6 Ha end-to-end.

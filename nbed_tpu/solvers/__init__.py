@@ -10,5 +10,7 @@ spin-orbital einsum implementation jitted end-to-end.
 from .ccsd import run_ccsd
 from .mp2 import run_mp2
 from .fci import run_fci, sector_hamiltonian
+from .hessian import harmonic_frequencies, hessian_fd
 
-__all__ = ["run_fci", "run_ccsd", "run_mp2", "sector_hamiltonian"]
+__all__ = ["run_fci", "run_ccsd", "run_mp2", "sector_hamiltonian",
+           "harmonic_frequencies", "hessian_fd"]
