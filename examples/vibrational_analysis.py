@@ -38,3 +38,14 @@ for f in freqs:
 
 vib = freqs[np.abs(freqs) >= 30]
 print(f"\n{len(vib)} vibrational modes: {np.round(vib, 1).tolist()}")
+
+from nbed_tpu.solvers import ir_intensities, thermochemistry  # noqa: E402
+from nbed_tpu.solvers.thermo import HA_PER_K_TO_CAL_MOL_K  # noqa: E402
+
+intens = ir_intensities(mol, modes, coords=coords)
+print("IR intensities (km/mol):", np.round(intens[np.abs(freqs) >= 30], 1).tolist())
+
+th = thermochemistry(mol, freqs, coords=coords, symmetry_number=2)
+print(f"ZPE = {th['zpe']*627.5094740631:.2f} kcal/mol, "
+      f"S(298) = {th['s_tot']*HA_PER_K_TO_CAL_MOL_K:.2f} cal/(mol K), "
+      f"G - E_elec = {th['g_therm']*627.5094740631:.2f} kcal/mol")

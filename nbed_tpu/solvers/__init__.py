@@ -10,7 +10,10 @@ spin-orbital einsum implementation jitted end-to-end.
 from .ccsd import run_ccsd
 from .mp2 import run_mp2
 from .fci import run_fci, sector_hamiltonian
-from .hessian import harmonic_frequencies, hessian_fd
+from .hessian import (dipole_derivative_fd, harmonic_frequencies,
+                      hessian_fd, ir_intensities)
+from .thermo import thermochemistry
 
 __all__ = ["run_fci", "run_ccsd", "run_mp2", "sector_hamiltonian",
-           "harmonic_frequencies", "hessian_fd"]
+           "harmonic_frequencies", "hessian_fd", "ir_intensities",
+           "dipole_derivative_fd", "thermochemistry"]
