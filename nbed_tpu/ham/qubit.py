@@ -11,11 +11,28 @@ Replaces the reference's OpenFermion usage (``jordan_wigner`` +
 Hamiltonian terms/sec is a headline metric (BASELINE.md).
 """
 
+import os
+
 import numpy as np
 from scipy.sparse.linalg import LinearOperator, eigsh
 
 __all__ = ["PauliSum", "jordan_wigner", "bravyi_kitaev",
            "pauli_sum_to_sparse", "pauli_ground_state"]
+
+
+def _native_qubit_enabled() -> bool:
+    """Native C++ term engine: NBED_TPU_QUBIT = auto (default) | native |
+    python. ``native`` raises if the engine cannot be built."""
+    mode = os.environ.get("NBED_TPU_QUBIT", "auto").lower()
+    if mode == "python":
+        return False
+    from ..native import qubit_available
+
+    ok = qubit_available()
+    if mode == "native" and not ok:
+        raise RuntimeError("NBED_TPU_QUBIT=native but the native qubit-term "
+                           "engine failed to build.")
+    return ok
 
 
 def _popcount(x: int) -> int:
@@ -163,6 +180,22 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
 
     dc, dx, dz = tables(dag)
     ac, ax, az = tables(ann)
+
+    if _native_qubit_enabled():
+        from ..native import map_terms
+
+        p1, q1 = np.nonzero(np.abs(h1) > tol)
+        idx2 = np.nonzero(np.abs(h2) > tol)
+        x_u, z_u, vals = map_terms(
+            n, dx, dz, ax, az, dc, ac,
+            np.stack([p1, q1], axis=1), h1[p1, q1],
+            np.stack(idx2, axis=1), h2[idx2], tol,
+        )
+        out.terms.update(
+            zip(zip(x_u.tolist(), z_u.tolist()), vals.tolist())
+        )
+        out.add(complex(constant), 0, 0)
+        return out.compress(tol)
 
     # JW ladder scalars are real (+-1/2): with real integrals every
     # intermediate coefficient is real, and float64 halves the memory

@@ -17,10 +17,13 @@ import numpy as np
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["available", "one_electron", "eri", "eri_3c", "eri_2c"]
+__all__ = ["available", "one_electron", "eri", "eri_3c", "eri_2c",
+           "qubit_available", "map_terms"]
 
 _SRC = Path(__file__).parent / "md_integrals.cpp"
 _LIB = Path(__file__).parent / "libnbed_md.so"
+_QSRC = Path(__file__).parent / "qubit_terms.cpp"
+_QLIB = Path(__file__).parent / "libnbed_qubit.so"
 
 
 @lru_cache(maxsize=1)
@@ -54,6 +57,85 @@ def available() -> bool:
     except Exception as exc:  # no g++ / build failure
         logger.warning("Native integral engine unavailable: %s", exc)
         return False
+
+
+@lru_cache(maxsize=1)
+def _load_qubit():
+    if not _QLIB.exists() or _QLIB.stat().st_mtime < _QSRC.stat().st_mtime:
+        cmd = ["g++", "-O3", "-shared", "-fPIC", str(_QSRC), "-o", str(_QLIB)]
+        logger.info("Compiling native qubit-term engine: %s", " ".join(cmd))
+        subprocess.run(cmd, check=True, capture_output=True)
+    lib = ctypes.CDLL(str(_QLIB))
+    dptr = ctypes.POINTER(ctypes.c_double)
+    i64 = ctypes.POINTER(ctypes.c_int64)
+    i32 = ctypes.POINTER(ctypes.c_int32)
+    lib.nbed_map_terms.argtypes = [
+        ctypes.c_int,
+        i64, i64, i64, i64, dptr, dptr,
+        ctypes.c_int64, i32, dptr,
+        ctypes.c_int64, i32, dptr,
+        ctypes.c_double,
+        i64, i64, dptr,
+    ]
+    lib.nbed_map_terms.restype = ctypes.c_int64
+    return lib
+
+
+def qubit_available() -> bool:
+    try:
+        _load_qubit()
+        return True
+    except Exception as exc:
+        logger.warning("Native qubit-term engine unavailable: %s", exc)
+        return False
+
+
+def map_terms(n_modes, dx, dz, ax, az, dsc, asc, pq1, c1, pqrs2, c2, tol):
+    """Generate + combine Pauli strings for a fermionic (h1, h2) operator.
+
+    ``dx/dz/ax/az``: (2, n) int64 ladder bitmask tables; ``dsc/asc``: (2,)
+    complex scalars; ``pq1`` (n1, 2) / ``pqrs2`` (n2, 4) int32 mode indices
+    with complex coefficient arrays ``c1`` (n1,) / ``c2`` (n2,).
+    Returns ``(x, z, coeffs)``: int64 masks + complex128 coefficients of the
+    unique strings above ``tol``.
+    """
+    lib = _load_qubit()
+
+    def _i64(a):
+        return np.ascontiguousarray(a, dtype=np.int64)
+
+    def _c2f(a):
+        return np.ascontiguousarray(
+            np.asarray(a, dtype=np.complex128)
+        ).view(np.float64)
+
+    dx, dz, ax, az = _i64(dx), _i64(dz), _i64(ax), _i64(az)
+    dsc_f, asc_f = _c2f(dsc), _c2f(asc)
+    pq1 = np.ascontiguousarray(pq1, dtype=np.int32).reshape(-1, 2)
+    pqrs2 = np.ascontiguousarray(pqrs2, dtype=np.int32).reshape(-1, 4)
+    c1f, c2f = _c2f(c1), _c2f(c2)
+    n1, n2 = pq1.shape[0], pqrs2.shape[0]
+    cap = 4 * n1 + 16 * n2
+    out_x = np.empty(cap, dtype=np.int64)
+    out_z = np.empty(cap, dtype=np.int64)
+    out_c = np.empty(2 * cap, dtype=np.float64)
+
+    def _ip64(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+
+    def _ip32(a):
+        return a.ctypes.data_as(ctypes.POINTER(ctypes.c_int32))
+
+    n_out = lib.nbed_map_terms(
+        int(n_modes),
+        _ip64(dx), _ip64(dz), _ip64(ax), _ip64(az), _dp(dsc_f), _dp(asc_f),
+        n1, _ip32(pq1), _dp(c1f),
+        n2, _ip32(pqrs2), _dp(c2f),
+        float(tol),
+        _ip64(out_x), _ip64(out_z), _dp(out_c),
+    )
+    coeffs = out_c[: 2 * n_out].view(np.complex128)
+    return out_x[:n_out], out_z[:n_out], coeffs
 
 
 def _pack(mol):

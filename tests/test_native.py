@@ -39,3 +39,33 @@ def test_native_qmmm_point_charges(water_molecule):
     _, _, v_plain = native.one_electron(water_molecule)
     v_jax = np.asarray(point_charge_attraction(water_molecule, centers, charges))
     assert np.allclose(v_mm - v_plain, v_jax, atol=1e-12)
+
+
+def test_native_qubit_terms_match_python():
+    """The C++ term engine reproduces the numpy pipeline exactly (JW and
+    BK, complex coefficients included)."""
+    import os
+
+    from nbed_tpu.ham.qubit import bravyi_kitaev, jordan_wigner
+
+    assert native.qubit_available()
+    rng = np.random.default_rng(11)
+    n = 8
+    h1 = rng.normal(size=(n, n)) + 1j * rng.normal(size=(n, n))
+    h1 = h1 + h1.conj().T
+    h2 = rng.normal(size=(n,) * 4) * (rng.random((n,) * 4) < 0.25)
+    old = os.environ.get("NBED_TPU_QUBIT")
+    try:
+        for fn in (jordan_wigner, bravyi_kitaev):
+            os.environ["NBED_TPU_QUBIT"] = "python"
+            py = fn(0.25, h1, h2)
+            os.environ["NBED_TPU_QUBIT"] = "native"
+            nat = fn(0.25, h1, h2)
+            assert set(py.terms) == set(nat.terms)
+            dev = max(abs(py.terms[k] - nat.terms[k]) for k in py.terms)
+            assert dev < 1e-12
+    finally:
+        if old is None:
+            os.environ.pop("NBED_TPU_QUBIT", None)
+        else:
+            os.environ["NBED_TPU_QUBIT"] = old
