@@ -335,21 +335,27 @@ def _term_arrays(psum: PauliSum):
     return xs, zs, cs
 
 
-def _matvec_factory(psum: PauliSum):
+def _grouped_weights(psum: PauliSum):
+    """Collapse the Pauli sum to one dense column-weight vector per distinct
+    X mask.
+
+    Every term ``c * X^x Z^z`` acts as a permutation matrix (col -> col ^ x)
+    scaled by the diagonal sign ``(-1)^parity(col & z)``; all terms sharing an
+    X mask share that permutation, so their diagonals sum into a single
+    ``w_x[col]``.  The full matrix action is then ``out[col ^ x] += w_x * v``
+    over the (few hundred) distinct masks instead of one pass per term —
+    this is what makes the Lanczos oracle fast enough for the test suite.
+    """
     n = psum.n_qubits
     dim = 1 << n
     xs, zs, cs = _term_arrays(psum)
     cols = np.arange(dim, dtype=np.int64)
-
-    # parity of col & z per term, computed lazily per matvec chunk
-    def matvec(v):
-        out = np.zeros(dim, dtype=np.complex128)
-        for x, z, c in zip(xs, zs, cs):
-            par = _parity_int64(cols & z)
-            out[cols ^ x] += c * ((-1.0) ** par) * v
-        return out
-
-    return matvec, dim
+    ux, inv = np.unique(xs, return_inverse=True)
+    weights = np.zeros((len(ux), dim), dtype=np.complex128)
+    for t in range(len(xs)):
+        par = _parity_int64(cols & zs[t])
+        weights[inv[t]] += cs[t] * (1.0 - 2.0 * par)
+    return ux, weights, dim
 
 
 def _parity_int64(arr):
@@ -363,26 +369,45 @@ def pauli_sum_to_sparse(psum: PauliSum):
     """Explicit CSR matrix (use only for small qubit counts)."""
     from scipy.sparse import coo_matrix
 
-    n = psum.n_qubits
-    dim = 1 << n
-    xs, zs, cs = _term_arrays(psum)
+    ux, weights, dim = _grouped_weights(psum)
     cols = np.arange(dim, dtype=np.int64)
-    rows_all, cols_all, data_all = [], [], []
-    for x, z, c in zip(xs, zs, cs):
-        par = _parity_int64(cols & z)
-        rows_all.append(cols ^ x)
-        cols_all.append(cols)
-        data_all.append(c * ((-1.0) ** par))
+    rows = (cols[None, :] ^ ux[:, None]).ravel()
     return coo_matrix(
-        (np.concatenate(data_all),
-         (np.concatenate(rows_all), np.concatenate(cols_all))),
+        (weights.ravel(), (rows, np.tile(cols, len(ux)))),
         shape=(dim, dim),
     ).tocsr()
 
 
+# nnz budget for materialising the CSR in pauli_ground_state (~3 GB at
+# complex128 + two int64 index arrays); beyond it, stay matrix-free.
+_SPARSE_NNZ_LIMIT = 100_000_000
+
+
 def pauli_ground_state(psum: PauliSum, k: int = 1):
-    """Lowest-k eigenvalues via matrix-free Lanczos (no 2^n x 2^n storage)."""
-    matvec, dim = _matvec_factory(psum)
+    """Lowest-k eigenvalues of the Pauli sum.
+
+    Small systems get an explicit CSR + Lanczos (fastest); large ones fall
+    back to a matrix-free operator built from the X-mask-grouped weights so
+    storage stays O(n_distinct_x * 2^n) worst case, never the full matrix.
+    """
+    dim = 1 << psum.n_qubits
+    xs, zs, cs = _term_arrays(psum)
+    n_ux = len(np.unique(xs))
+    if n_ux * dim <= _SPARSE_NNZ_LIMIT:
+        mat = pauli_sum_to_sparse(psum)
+        vals = eigsh(mat, k=k, which="SA", return_eigenvectors=False)
+        return np.sort(vals)
+
+    # Stream term-by-term: O(dim) memory, one pass per term per matvec.
+    cols = np.arange(dim, dtype=np.int64)
+
+    def matvec(v):
+        out = np.zeros(dim, dtype=np.complex128)
+        for x, z, c in zip(xs, zs, cs):
+            par = _parity_int64(cols & z)
+            out[cols ^ x] += c * (1.0 - 2.0 * par) * v
+        return out
+
     op = LinearOperator((dim, dim), matvec=matvec, dtype=np.complex128)
     vals = eigsh(op, k=k, which="SA", return_eigenvectors=False)
     return np.sort(vals)
