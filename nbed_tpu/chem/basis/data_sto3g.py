@@ -62,6 +62,11 @@ def _scale(fit, zeta):
 # grid at ~1e-11 (Al/Si 2sp entries 2-3, P 1s entry 3).  Na and Mg are
 # deliberately absent: their 3sp rows could not be verified, and shipping
 # unverified basis data is worse than none (use a BSE JSON file for them).
+# Deriving their zetas variationally is NOT an option either:
+# scripts/opt_sto3g_row3_zeta.py demonstrates that unconstrained atomic
+# optimization collapses the valence zeta into the core (the published
+# valence scale factors are molecular calibrations, unlike Dunning's
+# atomic-HF-optimal cc-pVDZ rule).
 # zeta (1s, 2sp, 3sp): Al (12.56, 4.36, 1.70)  Si (13.53, 4.83, 1.75)
 #                      P  (14.50, 5.31, 1.90)  S  (15.47, 5.79, 2.05)
 #                      Cl (16.43, 6.26, 2.10)  Ar (17.40, 6.74, 2.33)
