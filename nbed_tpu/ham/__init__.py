@@ -13,6 +13,7 @@ from .qubit import (
     PauliSum,
     bravyi_kitaev,
     jordan_wigner,
+    measurement_groups,
     pauli_ground_state,
     pauli_sum_to_sparse,
 )
@@ -26,4 +27,5 @@ __all__ = [
     "PauliSum",
     "pauli_sum_to_sparse",
     "pauli_ground_state",
+    "measurement_groups",
 ]

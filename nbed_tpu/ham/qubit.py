@@ -365,6 +365,73 @@ def _parity_int64(arr):
     return arr & 1
 
 
+def measurement_groups(psum: PauliSum):
+    """Partition the Pauli sum into qubit-wise-commuting (QWC) groups.
+
+    Each group can be measured in one circuit execution (a single
+    per-qubit basis rotation), so ``len(groups)`` — not the raw term
+    count — is what sets the measurement cost of estimating ⟨H⟩ on a
+    quantum device.  Complements the qubit/term-count reduction metrics
+    the reference's publication reports (PRA 109, 022418 table; the
+    reference itself leaves grouping to external SDKs).
+
+    Greedy first-fit over terms sorted by |coefficient| (heavy terms
+    seed groups).  Because members of a group are mutually QWC, the
+    group is summarised by the OR of its X and Z masks; a term fits iff
+    on every qubit where both act, the (X, Z) bit pattern agrees:
+    ``common = (tx|tz) & (gx|gz);  tx&common == gx&common  and
+    tz&common == gz&common``.  The scan over groups is vectorised in
+    int64 numpy, so paper-scale sums (~50k terms) group in seconds.
+
+    Returns:
+        list of groups, each a list of ``((x, z), coeff)`` items; the
+        identity term (if present) joins the first group it fits.
+    """
+    items = sorted(psum.terms.items(), key=lambda kv: -abs(kv[1]))
+    if not items:
+        return []
+    membership = []  # term index -> group index
+    if psum.n_qubits <= 63:
+        gx = np.zeros(0, dtype=np.int64)
+        gz = np.zeros(0, dtype=np.int64)
+        for (x, z), _ in items:
+            act = x | z
+            common = act & (gx | gz)
+            fits = ((x & common) == (gx & common)) \
+                & ((z & common) == (gz & common))
+            hit = np.nonzero(fits)[0]
+            if hit.size:
+                g = int(hit[0])
+                gx[g] |= x
+                gz[g] |= z
+            else:
+                g = len(gx)
+                gx = np.append(gx, np.int64(x))
+                gz = np.append(gz, np.int64(z))
+            membership.append(g)
+        n_groups = len(gx)
+    else:  # arbitrary-width python-int masks
+        gx_l, gz_l = [], []
+        for (x, z), _ in items:
+            for g, (mx, mz) in enumerate(zip(gx_l, gz_l)):
+                common = (x | z) & (mx | mz)
+                if (x & common) == (mx & common) \
+                        and (z & common) == (mz & common):
+                    gx_l[g] |= x
+                    gz_l[g] |= z
+                    membership.append(g)
+                    break
+            else:
+                membership.append(len(gx_l))
+                gx_l.append(x)
+                gz_l.append(z)
+        n_groups = len(gx_l)
+    groups = [[] for _ in range(n_groups)]
+    for (key_coeff, g) in zip(items, membership):
+        groups[g].append(key_coeff)
+    return groups
+
+
 def pauli_sum_to_sparse(psum: PauliSum):
     """Explicit CSR matrix (use only for small qubit counts)."""
     from scipy.sparse import coo_matrix

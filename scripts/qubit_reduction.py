@@ -161,12 +161,20 @@ def main():
         d.embed()
         e_const, e_h1, e_h2 = d.huzinaga["second_quantised"]
         emb_qubits = e_h1.shape[0]
-        emb_terms = len(jordan_wigner(e_const, e_h1, e_h2, tol=1e-8).terms)
+        emb_jw = jordan_wigner(e_const, e_h1, e_h2, tol=1e-8)
+        emb_terms = len(emb_jw.terms)
+        # measurement cost (not in the paper's table — grouping was left
+        # to external SDKs): qubit-wise-commuting groups per Hamiltonian
+        from nbed_tpu.ham import measurement_groups
+
+        full_groups = len(measurement_groups(full))
+        emb_groups = len(measurement_groups(emb_jw))
 
         print(f"{name}: qubits {full_qubits} -> {emb_qubits} "
               f"(published {pub_qubits[0]} -> {pub_qubits[1]}); "
               f"terms {full_terms:,} -> {emb_terms:,} "
-              f"(published {pub_terms[0]:,} -> {pub_terms[1]:,})",
+              f"(published {pub_terms[0]:,} -> {pub_terms[1]:,}); "
+              f"QWC groups {full_groups:,} -> {emb_groups:,}",
               flush=True)
 
 

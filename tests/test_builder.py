@@ -73,3 +73,43 @@ def test_reduce_virtuals(water_rhf, water_uhf):
         reduce_virtuals(water_rhf, 7)
     assert "more than exist" in str(excinfo)
     assert np.all(water_rhf.mo_coeff == reduce_virtuals(water_rhf, 0).mo_coeff)
+
+
+def test_measurement_groups(water_uhf):
+    """QWC grouping: complete, valid (all pairs in a group qubit-wise
+    commute), and far fewer groups than terms."""
+    from nbed_tpu.ham import measurement_groups
+
+    reduced = reduce_virtuals(water_uhf, 2)
+    const, h1, h2 = HamiltonianBuilder(reduced, 0).build()
+    jw = jordan_wigner(const, h1, h2)
+    groups = measurement_groups(jw)
+    # complete: every term appears exactly once with its coefficient
+    flat = {k: c for g in groups for (k, c) in g}
+    assert flat == jw.terms
+    # valid: all pairs within a group are qubit-wise commuting
+    for g in groups:
+        for i, ((xa, za), _) in enumerate(g):
+            for (xb, zb), _ in g[i + 1:]:
+                common = (xa | za) & (xb | zb)
+                assert (xa & common) == (xb & common)
+                assert (za & common) == (zb & common)
+    # useful: a real compression (water-scale JW typically ~5-10x)
+    assert len(groups) < len(jw) / 3
+
+
+def test_measurement_groups_trivial():
+    from nbed_tpu.ham import PauliSum, measurement_groups
+
+    # all-diagonal sum -> one group
+    p = PauliSum(4)
+    p.add(1.0, 0, 0b0011)
+    p.add(0.5, 0, 0b0101)
+    p.add(-0.25, 0, 0)
+    assert len(measurement_groups(p)) == 1
+    # X0 vs Z0 anticommute on qubit 0 -> two groups
+    q = PauliSum(1)
+    q.add(1.0, 1, 0)
+    q.add(1.0, 0, 1)
+    assert len(measurement_groups(q)) == 2
+    assert measurement_groups(PauliSum(2)) == []
