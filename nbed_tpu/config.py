@@ -102,6 +102,10 @@ class NbedConfig(BaseModel):
     run_ccsd_emb: bool = False
     run_fci_emb: bool = False
     run_dft_in_dft: bool = False
+    # extension beyond the reference (which exports the Hamiltonian to an
+    # external SDK for this): solve the embedded Hamiltonian with the
+    # built-in UCCSD VQE (solvers/vqe.py) and record e_vqe in the result
+    run_vqe_emb: bool = False
 
     mm_coords: list | None = None
     mm_charges: list | None = None

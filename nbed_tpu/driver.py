@@ -543,6 +543,19 @@ class NbedDriver:
 
         hb = HamiltonianBuilder(result["scf"], result["classical_energy"])
         result["second_quantised"] = hb.build()
+
+        if cfg.run_vqe_emb:
+            from .solvers import run_vqe
+
+            occ = np.asarray(result["scf"].mo_occ)
+            nelec = (int(np.sum(occ[0] > 0)), int(np.sum(occ[1] > 0)))
+            try:
+                vqe = run_vqe(*result["second_quantised"], nelec=nelec)
+                result["vqe"] = vqe
+                result["e_vqe"] = vqe.e_vqe
+                logger.info("VQE Energy %s: %s", projector, vqe.e_vqe)
+            except ValueError as exc:  # active space too large: warn, keep going
+                logger.warning("Skipping embedded VQE: %s", exc)
         return result
 
     # ------------------------------------------------------------- helpers

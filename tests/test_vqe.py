@@ -75,3 +75,16 @@ def test_embedded_vqe_in_dft(mu_driver):
     e_fci = mu_driver.mu["e_fci"]
     assert res.e_vqe > e_fci - 1e-9
     assert res.e_vqe - e_fci < 2e-4
+
+
+def test_driver_run_vqe_emb(nbed_args):
+    """Config-level integration: run_vqe_emb records e_vqe beside e_fci."""
+    from nbed_tpu import nbed
+
+    args = dict(nbed_args)
+    args.update(projector="mu", run_ccsd_emb=False, run_fci_emb=True,
+                run_vqe_emb=True)
+    driver = nbed(**args)
+    assert "e_vqe" in driver.mu and driver.mu["vqe"].converged
+    assert driver.mu["e_vqe"] > driver.mu["e_fci"] - 1e-9
+    assert driver.mu["e_vqe"] - driver.mu["e_fci"] < 2e-4
