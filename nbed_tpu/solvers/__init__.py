@@ -13,9 +13,9 @@ from .fci import run_fci, sector_hamiltonian
 from .hessian import (dipole_derivative_fd, harmonic_frequencies,
                       hessian_fd, ir_intensities)
 from .thermo import thermochemistry
-from .vqe import run_vqe, uccsd_excitations
+from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations
 
 __all__ = ["run_fci", "run_ccsd", "run_mp2", "sector_hamiltonian",
            "harmonic_frequencies", "hessian_fd", "ir_intensities",
            "dipole_derivative_fd", "thermochemistry", "run_vqe",
-           "uccsd_excitations"]
+           "run_adapt_vqe", "uccsd_excitations"]

@@ -42,7 +42,8 @@ from ..ham.qubit import (PauliSum, _bk_sets, _grouped_weights,
                          _ladder_factory, _mul, _popcount, bravyi_kitaev,
                          jordan_wigner)
 
-__all__ = ["run_vqe", "uccsd_excitations", "VQEResult"]
+__all__ = ["run_vqe", "run_adapt_vqe", "uccsd_excitations", "VQEResult",
+           "AdaptVQEResult"]
 
 
 # --------------------------------------------------------------- excitations
@@ -295,3 +296,164 @@ def run_vqe(constant, h1, h2, nelec, mapping: str = "jw",
                      n_params=n_params, n_strings=n_strings,
                      mapping=mapping, converged=converged,
                      n_iterations=int(res.nit), history=history)
+
+
+# ---------------------------------------------------------------- ADAPT-VQE
+
+
+@dataclass
+class AdaptVQEResult:
+    """ADAPT-VQE state: the grown ansatz and its energy trajectory."""
+
+    e_vqe: float
+    e_reference: float
+    params: np.ndarray
+    op_indices: list
+    n_qubits: int
+    mapping: str
+    converged: bool
+    max_gradient: float
+    history: list = field(default_factory=list)  # (op, |grad|, energy)
+
+    def __repr__(self):
+        return (f"AdaptVQEResult(e_vqe={self.e_vqe:.10f}, "
+                f"n_ops={len(self.op_indices)}, "
+                f"max_gradient={self.max_gradient:.2e}, "
+                f"converged={self.converged})")
+
+
+def run_adapt_vqe(constant, h1, h2, nelec, mapping: str = "jw",
+                  grad_tol: float = 1e-3, max_ops: int = 60,
+                  maxiter: int = 300, conv_tol: float = 1e-7
+                  ) -> AdaptVQEResult:
+    """ADAPT-VQE (Grimsley et al., Nat. Commun. 10, 3007 (2019)).
+
+    Grows the ansatz one operator at a time from the spin-preserving
+    singles+doubles pool: at each step every pool gradient
+    ``dE/dθ_k|_{θ=0} = ⟨ψ|[H, K_k]|ψ⟩ = 2⟨Hψ|K_k ψ⟩`` is evaluated in a
+    single jitted program (one grouped-X-mask ``H|ψ⟩`` + one
+    segment-summed string sweep for the whole pool), the largest
+    |gradient| operator is appended, and all amplitudes are re-optimised
+    (warm-started L-BFGS).  Stops when ``max|grad| < grad_tol`` — a much
+    more compact ansatz than full UCCSD at the same accuracy, which is
+    what a real device run wants (circuit depth = Pauli rotations).
+    """
+    h1 = np.asarray(h1)
+    n_so = h1.shape[0]
+    if mapping == "jw":
+        psum = jordan_wigner(constant, h1, h2)
+    elif mapping == "bk":
+        psum = bravyi_kitaev(constant, h1, h2)
+    else:
+        raise ValueError(f"unknown mapping '{mapping}'")
+    n_qubits = psum.n_qubits
+    dim = 1 << n_qubits
+    if n_qubits > 24:
+        raise ValueError(
+            f"statevector VQE capped at 24 qubits (got {n_qubits})")
+
+    ladder = _ladder_factory(mapping, n_so)
+    occ_mask, pool = uccsd_excitations(n_so, nelec)
+    pool_strings = [_generator_strings(exc, ladder) for exc in pool]
+
+    # stacked pool arrays for the one-program gradient sweep
+    pxs, pzs, pcs, pop = [], [], [], []
+    for k, strings in enumerate(pool_strings):
+        for c, x, z in strings:
+            pxs.append(x)
+            pzs.append(z)
+            pcs.append(c)
+            pop.append(k)
+    pxs_a = jnp.asarray(pxs, dtype=jnp.int32)
+    pzs_a = jnp.asarray(pzs, dtype=jnp.int32)
+    pcs_a = jnp.asarray(pcs, dtype=jnp.float64)
+    pop_a = jnp.asarray(pop, dtype=jnp.int32)
+    n_pool = len(pool)
+
+    ux, weights, _ = _grouped_weights(psum)
+    assert np.abs(weights.imag).max() < 1e-9
+    energy_of = _expectation_program(ux, weights.real, dim)
+    apply = _ansatz_program(n_qubits, dim)
+    cols = jnp.arange(dim, dtype=jnp.int32)
+    ux_a = jnp.asarray(ux, dtype=jnp.int32)
+    w_a = jnp.asarray(weights.real)
+    hidx = cols[None, :] ^ ux_a[:, None]
+
+    @jax.jit
+    def pool_gradients(psi):
+        hpsi = jnp.einsum("xj,xj->j", w_a, psi[hidx])  # (H ψ)[j]
+        def svals(t):
+            x, z, c = t
+            idx = cols ^ x
+            par = jax.lax.population_count(idx & z) & 1
+            sgn = (1 - 2 * par).astype(psi.dtype)
+            return c * jnp.dot(hpsi, sgn * psi[idx])
+        vals = jax.vmap(svals)((pxs_a, pzs_a, pcs_a))
+        return 2.0 * jax.ops.segment_sum(vals, pop_a, num_segments=n_pool)
+
+    hf_index = _encode_reference(occ_mask, mapping, n_so)
+    psi0 = jnp.zeros(dim, dtype=jnp.float64).at[hf_index].set(1.0)
+    e_ref = float(energy_of(psi0))
+
+    from scipy.optimize import minimize
+
+    op_indices: list = []
+    thetas = np.zeros(0)
+    history = []
+    max_grad = np.inf
+    e_cur = e_ref
+    converged = False
+    for _ in range(max_ops):
+        # current state
+        if op_indices:
+            xs, zs, cs, pidx = _stack_ansatz(
+                [pool_strings[k] for k in op_indices])
+            psi = apply(jnp.asarray(thetas), psi0, xs, zs, cs, pidx)
+        else:
+            psi = psi0
+        grads = np.asarray(pool_gradients(psi))
+        max_grad = float(np.max(np.abs(grads)))
+        if max_grad < grad_tol:
+            converged = True
+            break
+        k_new = int(np.argmax(np.abs(grads)))
+        op_indices.append(k_new)
+        thetas = np.append(thetas, 0.0)
+
+        xs, zs, cs, pidx = _stack_ansatz(
+            [pool_strings[k] for k in op_indices])
+
+        def objective(t):
+            return energy_of(apply(t, psi0, xs, zs, cs, pidx))
+
+        val_grad = jax.jit(jax.value_and_grad(objective))
+
+        def fun(x):
+            v, g = val_grad(jnp.asarray(x))
+            return float(v), np.asarray(g, dtype=np.float64)
+
+        res = minimize(fun, thetas, jac=True, method="L-BFGS-B",
+                       options={"maxiter": maxiter, "gtol": conv_tol,
+                                "ftol": 1e-13})
+        thetas = np.asarray(res.x)
+        e_cur = float(res.fun)
+        history.append((k_new, max_grad, e_cur))
+
+    return AdaptVQEResult(e_vqe=e_cur, e_reference=e_ref, params=thetas,
+                          op_indices=op_indices, n_qubits=n_qubits,
+                          mapping=mapping, converged=converged,
+                          max_gradient=max_grad, history=history)
+
+
+def _stack_ansatz(strings_per_op):
+    xs, zs, cs, pidx = [], [], [], []
+    for p, strings in enumerate(strings_per_op):
+        for c, x, z in strings:
+            xs.append(x)
+            zs.append(z)
+            cs.append(c)
+            pidx.append(p)
+    return (jnp.asarray(xs, dtype=jnp.int32),
+            jnp.asarray(zs, dtype=jnp.int32),
+            jnp.asarray(cs, dtype=jnp.float64),
+            jnp.asarray(pidx, dtype=jnp.int32))

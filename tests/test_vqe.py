@@ -88,3 +88,23 @@ def test_driver_run_vqe_emb(nbed_args):
     assert "e_vqe" in driver.mu and driver.mu["vqe"].converged
     assert driver.mu["e_vqe"] > driver.mu["e_fci"] - 1e-9
     assert driver.mu["e_vqe"] - driver.mu["e_fci"] < 2e-4
+
+
+def test_adapt_vqe_reduced_water(water_rhf):
+    """ADAPT-VQE reaches UCCSD-grade accuracy with a compact ansatz and a
+    monotone energy trajectory."""
+    from nbed_tpu.solvers import run_adapt_vqe
+
+    reduced = reduce_virtuals(water_rhf, 1)
+    const, h1, h2 = HamiltonianBuilder(reduced, 0).build()
+    e_fci, _ = run_fci(const, h1, h2, 12, (5, 5))
+    res = run_adapt_vqe(const, h1, h2, nelec=(5, 5), grad_tol=1e-4)
+    assert res.converged
+    assert res.e_vqe > e_fci[0] - 1e-9
+    assert res.e_vqe - e_fci[0] < 1e-4
+    # compact: far fewer operators than the full pool would give
+    full = run_vqe(const, h1, h2, nelec=(5, 5))
+    assert len(res.op_indices) < full.n_params
+    # monotone descent over adapt iterations
+    energies = [e for (_, _, e) in res.history]
+    assert all(b <= a + 1e-10 for a, b in zip(energies, energies[1:]))
