@@ -130,6 +130,10 @@ class NbedConfig(BaseModel):
     # density_fitting: None = auto (DF above the driver's nao threshold)
     density_fitting: bool | None = None
     warmup_f32: bool = False
+    # Z2-symmetry qubit tapering of the embedded Hamiltonian (ham/taper.py):
+    # records the JW Pauli sum, its symmetries, sector and the tapered sum
+    # under result["tapered"] — qubit counts below the raw JW register.
+    taper_qubits: bool = False
 
     max_ram_memory: PositiveInt = 4000
     max_hf_cycles: PositiveInt = Field(default=50)

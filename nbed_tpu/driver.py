@@ -544,6 +544,34 @@ class NbedDriver:
         hb = HamiltonianBuilder(result["scf"], result["classical_energy"])
         result["second_quantised"] = hb.build()
 
+        if cfg.taper_qubits:
+            from .ham.qubit import jordan_wigner
+            from .ham.taper import taper_auto
+
+            psum = jordan_wigner(*result["second_quantised"])
+            occ = np.asarray(result["scf"].mo_occ)
+            if occ.ndim == 1:
+                occ = np.stack([occ, occ])
+            hf_bits = 0  # builder interleave: bit 2p alpha MO p, 2p+1 beta
+            for p in np.nonzero(occ[0] > 0)[0]:
+                hf_bits |= 1 << (2 * int(p))
+            for p in np.nonzero(occ[1] > 0)[0]:
+                hf_bits |= 1 << (2 * int(p) + 1)
+            tapered, syms, sector = taper_auto(psum, hf_bits=hf_bits)
+            result["tapered"] = {
+                "psum": tapered,
+                "symmetries": syms,
+                "sector": sector,
+                "n_qubits_raw": psum.n_qubits,
+                "n_qubits": tapered.n_qubits,
+                "n_terms_raw": len(psum),
+                "n_terms": len(tapered),
+            }
+            logger.info(
+                "Tapering %s: %d -> %d qubits (%d symmetries)",
+                projector, psum.n_qubits, tapered.n_qubits, len(syms),
+            )
+
         if cfg.run_vqe_emb:
             from .solvers import run_vqe
 

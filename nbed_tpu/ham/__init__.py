@@ -17,6 +17,7 @@ from .qubit import (
     pauli_ground_state,
     pauli_sum_to_sparse,
 )
+from .taper import Z2Symmetry, find_z2_symmetries, taper, taper_auto
 
 __all__ = [
     "HamiltonianBuilder",
@@ -28,4 +29,8 @@ __all__ = [
     "pauli_sum_to_sparse",
     "pauli_ground_state",
     "measurement_groups",
+    "Z2Symmetry",
+    "find_z2_symmetries",
+    "taper",
+    "taper_auto",
 ]

@@ -170,10 +170,26 @@ def main():
         full_groups = len(measurement_groups(full))
         emb_groups = len(measurement_groups(emb_jw))
 
+        # Z2 tapering on top of embedding+CL (beyond the paper, which stops
+        # at the raw JW register): alpha/beta parities + point-group Z2s
+        from nbed_tpu.ham import taper_auto
+
+        import numpy as np
+
+        occ = np.asarray(d.huzinaga["scf"].mo_occ)
+        hf_bits = 0
+        for p in occ[0].nonzero()[0]:
+            hf_bits |= 1 << (2 * int(p))
+        for p in occ[1].nonzero()[0]:
+            hf_bits |= 1 << (2 * int(p) + 1)
+        tapered, syms, _ = taper_auto(emb_jw, hf_bits=hf_bits)
+
         print(f"{name}: qubits {full_qubits} -> {emb_qubits} "
-              f"(published {pub_qubits[0]} -> {pub_qubits[1]}); "
+              f"(published {pub_qubits[0]} -> {pub_qubits[1]}) "
+              f"-> {tapered.n_qubits} tapered; "
               f"terms {full_terms:,} -> {emb_terms:,} "
-              f"(published {pub_terms[0]:,} -> {pub_terms[1]:,}); "
+              f"(published {pub_terms[0]:,} -> {pub_terms[1]:,}) "
+              f"-> {len(tapered.terms):,} tapered; "
               f"QWC groups {full_groups:,} -> {emb_groups:,}",
               flush=True)
 
