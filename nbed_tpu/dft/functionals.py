@@ -170,6 +170,74 @@ def pbe_x(ra, rb, gaa, gab, gbb):
     return per_spin(ra, gaa) + per_spin(rb, gbb)
 
 
+def _ityh_attenuation(a):
+    """ITYH short-range attenuation factor F(a) of the exchange hole.
+
+    Iikura-Tsuneda-Yanai-Hirao (JCP 115, 3540 (2001)): a GGA exchange
+    energy density e_x = -1/2 rho^{4/3} K becomes, under the short-range
+    erfc(omega*r)/r kernel, e_x * F(a) with a = omega*sqrt(K)/(6 sqrt(pi)
+    rho^{1/3}) and
+
+        F(a) = 1 - (8/3) a [sqrt(pi) erf(1/(2a)) + 2a (b - c)]
+        b = exp(-1/(4a^2)) - 1,  c = 2a^2 b + 1/2.
+
+    Limits: F(0) = 1 (pure short range sees the full functional),
+    F(a->inf) ~ 1/(36 a^2) -> 0.  Three numerically distinct regimes:
+
+    * a < 0.025: erf(1/(2a)) == 1 and exp(-1/(4a^2)) == 0 exactly in f64
+      but their autodiff produces 0*inf = NaN -> use the exact saturated
+      polynomial F = 1 - (8/3) a (sqrt(pi) - 3a + 4a^3).
+    * a > 8: the closed form cancels catastrophically (terms of size a
+      cancel to O(1/a^2); once exp(-1/(4a^2)) rounds to 1, b == 0 and the
+      formula explodes as +(8/3)a^2 — density tails drive a to 1e6+) ->
+      use the asymptotic series F = x^2/9 - x^4/60 + x^6/420, x = 1/(2a)
+      (from the Taylor expansions of erf and exp; relative error < 1e-10
+      at a = 8 and improving like a^-2).
+    * otherwise: the closed form, with inputs clamped into the branch's
+      valid range (double-where) so no NaN leaks through autodiff.
+    """
+    import jax.scipy.special as jsp
+
+    a = jnp.maximum(a, 0.0)
+    small = a < 0.025
+    large = a > 8.0
+    a_m = jnp.clip(a, 0.025, 8.0)
+    b = jnp.exp(-1.0 / (4.0 * a_m * a_m)) - 1.0
+    c = 2.0 * a_m * a_m * b + 0.5
+    f_full = 1.0 - (8.0 / 3.0) * a_m * (
+        np.sqrt(np.pi) * jsp.erf(1.0 / (2.0 * a_m)) + 2.0 * a_m * (b - c)
+    )
+    a_s = jnp.minimum(a, 0.025)
+    f_sat = 1.0 - (8.0 / 3.0) * a_s * (np.sqrt(np.pi) - 3.0 * a_s + 4.0 * a_s**3)
+    x2 = 1.0 / (4.0 * jnp.maximum(a, 8.0) ** 2)
+    f_asym = x2 * (1.0 / 9.0 - x2 * (1.0 / 60.0 - x2 / 420.0))
+    return jnp.where(small, f_sat, jnp.where(large, f_asym, f_full))
+
+
+def ityh_sr_x(base_x, omega: float):
+    """Short-range (erfc(omega*r)/r) version of a per-spin exchange
+    functional via the ITYH exchange-hole attenuation (the construction
+    behind libxc's GGA_X_ITYH used in CAM-B3LYP / LC-BLYP).
+
+    ``base_x`` must be spin-scaled like the exchange functionals here:
+    base_x(ra, rb, ...) = ex(ra, gaa) + ex(rb, gbb).
+    """
+
+    def per_spin(r, g):
+        r = _safe(r)
+        e_full = base_x(r, jnp.zeros_like(r), g, jnp.zeros_like(g),
+                        jnp.zeros_like(g))
+        # e_full = -1/2 r^{4/3} K  =>  K = -2 e_full r^{-4/3}
+        k_fac = jnp.maximum(-2.0 * e_full * r ** (-4.0 / 3.0), _TINY)
+        a = omega * jnp.sqrt(k_fac) / (6.0 * np.sqrt(np.pi) * r ** (1.0 / 3.0))
+        return e_full * _ityh_attenuation(a)
+
+    def fn(ra, rb, gaa, gab, gbb):
+        return per_spin(ra, gaa) + per_spin(rb, gbb)
+
+    return fn
+
+
 def pbe_c(ra, rb, gaa, gab, gbb):
     """PBE correlation (Perdew-Burke-Ernzerhof 1996)."""
     gamma = (1.0 - np.log(2.0)) / np.pi**2
@@ -193,7 +261,10 @@ def pbe_c(ra, rb, gaa, gab, gbb):
 
 # ------------------------------------------------------------------ registry
 
-# name -> (terms [(coef, fn)], hyb fraction of HF exchange)
+# name -> (terms [(coef, fn)], hyb fraction of HF exchange) or
+#         (terms, hyb, (beta, omega)) for range-separated hybrids, where
+#         the exact exchange is hyb*K + beta*K_LR(omega) with K_LR built
+#         from the long-range erf(omega*r12)/r12 ERIs.
 FUNCTIONALS = {
     "hf": ([], 1.0),
     "lda": ([(1.0, slater_x), (1.0, vwn5_c)], 0.0),
@@ -212,15 +283,45 @@ FUNCTIONALS = {
     "pbe": ([(1.0, pbe_x), (1.0, pbe_c)], 0.0),
     "pbe0": ([(0.75, pbe_x), (1.0, pbe_c)], 0.25),
     "pw92": ([(1.0, slater_x), (1.0, pw92_c)], 0.0),
+    # CAM-B3LYP (Yanai-Tew-Handy, CPL 393, 51 (2004)): exact exchange
+    # 0.19 full-range + 0.46 long-range(omega=0.33); DFT exchange is the
+    # complement 0.35 B88 + 0.46 SR-B88 (ITYH); correlation 0.19 VWN5 +
+    # 0.81 LYP (libxc HYB_GGA_XC_CAM_B3LYP composition).
+    "camb3lyp": (
+        [
+            (0.35, b88_x),
+            (0.46, ityh_sr_x(b88_x, 0.33)),
+            (0.19, vwn5_c),
+            (0.81, lyp_c),
+        ],
+        0.19,
+        (0.46, 0.33),
+    ),
+    # LC-BLYP (ITYH long-range correction applied to BLYP): 100% HF
+    # exchange at long range, SR-B88 at short range, full LYP; the
+    # original ITYH range parameter omega=0.33.
+    "lcblyp": (
+        [(1.0, ityh_sr_x(b88_x, 0.33)), (1.0, lyp_c)],
+        0.0,
+        (1.0, 0.33),
+    ),
 }
 
 
 def resolve_functional(name: str):
-    """Return (terms, hyb) for a functional name (case-insensitive)."""
+    """Return (terms, hyb, rsh) for a functional name (case-insensitive).
+
+    ``rsh`` is ``None`` for global hybrids / pure functionals, or
+    ``(beta, omega)`` for range-separated hybrids: exact exchange enters
+    the Fock matrix as ``hyb*K + beta*K_LR(omega)``.
+    """
     key = name.strip().lower().replace("-", "")
     try:
-        return FUNCTIONALS[key]
+        entry = FUNCTIONALS[key]
     except KeyError as exc:
         raise KeyError(
             f"XC functional '{name}' not implemented. Have: {sorted(FUNCTIONALS)}"
         ) from exc
+    if len(entry) == 2:
+        return entry[0], entry[1], None
+    return entry

@@ -79,7 +79,7 @@ def make_xc_fn(ao, ao_grad, weights, xc_name: str, chunk: int = 131072):
     Suitable when O(G * nao) AO storage fits; otherwise use
     :func:`make_xc_fn_streaming`.
     """
-    terms, _ = resolve_functional(xc_name)
+    terms = resolve_functional(xc_name)[0]
     if not terms:
         return None
     thresh = 1e-11 if ao.dtype == jnp.float64 else 3e-6
@@ -109,7 +109,7 @@ def make_xc_fn_streaming(mol, coords, points, weights, xc_name: str,
     fit (e.g. a 26-atom B3LYP grid is ~2.4M points)."""
     from ..grids import eval_aos
 
-    terms, _ = resolve_functional(xc_name)
+    terms = resolve_functional(xc_name)[0]
     if not terms:
         return None
     dtype = points.dtype if dtype is None else dtype

@@ -45,8 +45,11 @@ def _e3(la, lb, a, b, ab_vec):
     )
 
 
-def _eri_prim(la, lb, lc, ld):
-    """Primitive cartesian ERI block (nca, ncb, ncc, ncd) for one quartet."""
+def _eri_prim(la, lb, lc, ld, omega=None):
+    """Primitive cartesian ERI block (nca, ncb, ncc, ncd) for one quartet.
+
+    ``omega`` selects the long-range erf(omega*r12)/r12 kernel (range-
+    separated hybrids); None is the full-range Coulomb kernel."""
     lab, lcd = la + lb, lc + ld
 
     def f(ra, rb, rc, rd, a, b, c, d):
@@ -57,7 +60,7 @@ def _eri_prim(la, lb, lc, ld):
         alpha = p * q / (p + q)
         e_ab = _e3(la, lb, a, b, ra - rb)  # (nca, ncb, T,T,T)
         e_cd = _e3(lc, ld, c, d, rc - rd)
-        r4 = hermite_r_cross(lab, lcd, alpha, big_p - big_q)
+        r4 = hermite_r_cross(lab, lcd, alpha, big_p - big_q, omega=omega)
         pref = 2.0 * np.pi**2.5 / (p * q * jnp.sqrt(p + q))
         return pref * jnp.einsum("abtuv,tuvxyz,cdxyz->abcd", e_ab, r4, e_cd)
 
@@ -155,12 +158,12 @@ def _angular_classes(mol: Molecule):
 
 
 @lru_cache(maxsize=None)
-def _class_chunk_fn(ls):
+def _class_chunk_fn(ls, omega=None):
     """Process one fixed-size chunk of the primitive work list: compute the
     cartesian block of every row and scatter-add into the per-quartet
     accumulator.  One compiled program per angular class (jit re-specialises
     on the accumulator/chunk shapes)."""
-    prim = _eri_prim(*ls)
+    prim = _eri_prim(*ls, omega=omega)
 
     @jax.jit
     def step(acc, coords, exps, coef, qid, atoms):
@@ -175,21 +178,24 @@ def _class_chunk_fn(ls):
     return step
 
 
-def eri_tensor(mol: Molecule, coords=None, chunk_elems: int = 2**22):
+def eri_tensor(mol: Molecule, coords=None, chunk_elems: int = 2**22,
+               omega=None):
     """Full AO ERI tensor (nao, nao, nao, nao), chemist notation (ij|kl).
 
     Pure function of ``coords`` (differentiable / vmappable over
     conformers); 8-fold permutation symmetry is used to compute only
     canonical quartets.  ``chunk_elems`` bounds the per-chunk intermediate
-    (chunk_rows * cartesian-block elements).
+    (chunk_rows * cartesian-block elements).  ``omega`` selects the
+    long-range erf(omega*r12)/r12 kernel used by range-separated hybrids.
     """
     c = jnp.asarray(mol.coords) if coords is None else coords
     nao = mol.nao
     out = jnp.zeros((nao, nao, nao, nao))
+    omega = None if omega is None else float(omega)
     for cls in _angular_classes(mol):
         block = int(np.prod(cls.ncart))
         chunk = max(16, min(cls.n_prim, chunk_elems // block))
-        step = _class_chunk_fn(cls.ls)
+        step = _class_chunk_fn(cls.ls, omega)
         acc = jnp.zeros((cls.m, *cls.ncart))
         p = cls.n_prim
         pad = (-p) % chunk

@@ -93,7 +93,7 @@ def e_table_1d(la: int, lb: int, a, b, ab_dist):
     return jnp.stack(rows)
 
 
-def hermite_r(lmax: int, p, pq):
+def hermite_r(lmax: int, p, pq, omega=None):
     """Hermite Coulomb integrals R_{tuv}(p, PQ) for all t+u+v <= lmax.
 
     Vectorised downward recursion in the Boys order n: each step builds the
@@ -108,12 +108,22 @@ def hermite_r(lmax: int, p, pq):
         lmax: static total Hermite order.
         p: exponent-like prefactor (scalar under vmap).
         pq: 3-vector P - Q (or P - C for nuclear attraction).
+        omega: if not None, evaluate over the long-range kernel
+            ``erf(omega*r)/r`` instead of ``1/r``: every Boys order is
+            attenuated, F_n(T) -> kappa^(2n+1) F_n(kappa^2 T) with
+            kappa^2 = omega^2/(p + omega^2) (Helgaker et al. ch. 9;
+            the basis of range-separated hybrids such as CAM-B3LYP).
 
     Returns:
         (lmax+1, lmax+1, lmax+1) array R[t, u, v].
     """
     t_arg = p * jnp.sum(pq * pq)
-    f = boys(lmax, t_arg)  # (lmax+1,)
+    if omega is None:
+        f = boys(lmax, t_arg)  # (lmax+1,)
+    else:
+        kappa2 = omega * omega / (p + omega * omega)
+        f = boys(lmax, kappa2 * t_arg)
+        f = f * jnp.sqrt(kappa2) * kappa2 ** jnp.arange(lmax + 1)
     base = (-2.0 * p) ** jnp.arange(lmax + 1) * f  # R^n_{000}
     size = lmax + 1
     if lmax == 0:
@@ -147,13 +157,14 @@ def hermite_r(lmax: int, p, pq):
     return r
 
 
-def hermite_r_cross(lab: int, lcd: int, alpha, pq):
+def hermite_r_cross(lab: int, lcd: int, alpha, pq, omega=None):
     """R4[t,u,v,tau,nu,phi] = R_{t+tau, u+nu, v+phi}(alpha, PQ) with signs.
 
     The (-1)^{tau+nu+phi} factor of the bra-ket Hermite contraction is folded
     in, so the ERI reduces to a plain einsum against the two E tensors.
+    ``omega`` selects the long-range erf(omega*r)/r kernel (see hermite_r).
     """
-    r = hermite_r(lab + lcd, alpha, pq)
+    r = hermite_r(lab + lcd, alpha, pq, omega=omega)
     ts = np.arange(lab + 1)
     taus = np.arange(lcd + 1)
     idx_t = ts[:, None] + taus[None, :]  # (lab+1, lcd+1)

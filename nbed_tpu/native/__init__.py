@@ -39,13 +39,15 @@ def _load():
         ctypes.c_int, iptr, dptr, dptr, dptr, dptr, ctypes.c_int, dptr,
         ctypes.c_int, dptr, dptr, dptr, dptr, dptr, dptr,
     ]
-    lib.nbed_eri.argtypes = [ctypes.c_int, iptr, dptr, dptr, dptr, dptr, dptr]
+    lib.nbed_eri.argtypes = [
+        ctypes.c_int, iptr, dptr, dptr, dptr, dptr, dptr, ctypes.c_double,
+    ]
     lib.nbed_eri_3c.argtypes = [
         ctypes.c_int, iptr, dptr, dptr, dptr, dptr,
-        ctypes.c_int, iptr, dptr, dptr, dptr, dptr,
+        ctypes.c_int, iptr, dptr, dptr, dptr, dptr, ctypes.c_double,
     ]
     lib.nbed_eri_2c.argtypes = [
-        ctypes.c_int, iptr, dptr, dptr, dptr, dptr, dptr,
+        ctypes.c_int, iptr, dptr, dptr, dptr, dptr, dptr, ctypes.c_double,
     ]
     return lib
 
@@ -194,8 +196,10 @@ def one_electron(mol, coords=None):
     return s, t, v
 
 
-def eri_3c(mol, aux, coords=None):
-    """Three-centre DF integrals (ab|P): (nao, nao, naux)."""
+def eri_3c(mol, aux, coords=None, omega: float = 0.0):
+    """Three-centre DF integrals (ab|P): (nao, nao, naux).
+
+    ``omega > 0`` evaluates the long-range erf(omega*r12)/r12 kernel."""
     lib = _load()
     meta, exps, coefs, c2s = _pack(mol)
     ameta, aexps, acoefs, ac2s = _pack(aux)
@@ -207,13 +211,15 @@ def eri_3c(mol, aux, coords=None):
         len(mol.shells), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _dp(exps), _dp(coefs), _dp(c2s), _dp(coords),
         len(aux.shells), ameta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        _dp(aexps), _dp(acoefs), _dp(ac2s), _dp(out),
+        _dp(aexps), _dp(acoefs), _dp(ac2s), _dp(out), float(omega),
     )
     return out
 
 
-def eri_2c(aux, coords=None):
-    """Two-centre Coulomb metric (P|Q): (naux, naux)."""
+def eri_2c(aux, coords=None, omega: float = 0.0):
+    """Two-centre Coulomb metric (P|Q): (naux, naux).
+
+    ``omega > 0`` evaluates the long-range erf(omega*r12)/r12 kernel."""
     lib = _load()
     ameta, aexps, acoefs, ac2s = _pack(aux)
     coords = np.ascontiguousarray(
@@ -223,12 +229,16 @@ def eri_2c(aux, coords=None):
     lib.nbed_eri_2c(
         len(aux.shells), ameta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
         _dp(aexps), _dp(acoefs), _dp(ac2s), _dp(coords), _dp(out),
+        float(omega),
     )
     return out
 
 
-def eri(mol, coords=None):
-    """Full (nao, nao, nao, nao) ERI tensor, chemist notation."""
+def eri(mol, coords=None, omega: float = 0.0):
+    """Full (nao, nao, nao, nao) ERI tensor, chemist notation.
+
+    ``omega > 0`` evaluates the long-range erf(omega*r12)/r12 kernel
+    (range-separated hybrid exchange)."""
     lib = _load()
     meta, exps, coefs, c2s = _pack(mol)
     coords = np.ascontiguousarray(
@@ -238,6 +248,6 @@ def eri(mol, coords=None):
     out = np.zeros((nao, nao, nao, nao))
     lib.nbed_eri(
         len(mol.shells), meta.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
-        _dp(exps), _dp(coefs), _dp(c2s), _dp(coords), _dp(out),
+        _dp(exps), _dp(coefs), _dp(c2s), _dp(coords), _dp(out), float(omega),
     )
     return out

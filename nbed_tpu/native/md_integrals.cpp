@@ -99,12 +99,22 @@ struct ETable {
 };
 
 // Hermite Coulomb integrals R_{tuv} for t+u+v <= lmax.
+// omega > 0 selects the long-range erf(omega*r)/r kernel: every Boys order
+// is attenuated, F_n(T) -> kappa^(2n+1) F_n(kappa^2 T) with
+// kappa^2 = omega^2 / (p + omega^2) (range-separated hybrids).
 struct RTable {
   double r[2 * EMAX][2 * EMAX][2 * EMAX];
-  void build(int lmax, double p, const double* pq) {
+  void build(int lmax, double p, const double* pq, double omega = 0.0) {
     double t_arg = p * (pq[0] * pq[0] + pq[1] * pq[1] + pq[2] * pq[2]);
     double f[4 * LMAX + 4];
-    boys(lmax, t_arg, f);
+    if (omega > 0.0) {
+      double kappa2 = omega * omega / (p + omega * omega);
+      boys(lmax, kappa2 * t_arg, f);
+      double fac = std::sqrt(kappa2);
+      for (int n = 0; n <= lmax; ++n) { f[n] *= fac; fac *= kappa2; }
+    } else {
+      boys(lmax, t_arg, f);
+    }
     double powm2p[4 * LMAX + 4];
     powm2p[0] = 1.0;
     for (int n = 1; n <= lmax; ++n) powm2p[n] = powm2p[n - 1] * (-2.0 * p);
@@ -310,7 +320,7 @@ namespace {
 // Contracted cartesian ERI block (na*nb*nc*nd) for one shell quartet.
 void eri_quartet_cart(const Mol& mol, const Shell& A, const Shell& B,
                       const Shell& C, const Shell& D,
-                      std::vector<double>& cart) {
+                      std::vector<double>& cart, double omega = 0.0) {
   int pa[3], pb[3], pc[3], pd[3];
   const double* ra = mol.coords + 3 * A.atom;
   const double* rb = mol.coords + 3 * B.atom;
@@ -370,7 +380,7 @@ void eri_quartet_cart(const Mol& mol, const Shell& A, const Shell& B,
       double pref = two_pi_25 / (p * q * std::sqrt(p + q)) * cab * ccd;
       double pq[3] = {bp[0] - kp.bq[0], bp[1] - kp.bq[1], bp[2] - kp.bq[2]};
       RTable rt;
-      rt.build(lmax, alpha, pq);
+      rt.build(lmax, alpha, pq, omega);
 
       size_t idx = 0;
       for (int ca = 0; ca < na; ++ca) {
@@ -414,9 +424,12 @@ void eri_quartet_cart(const Mol& mol, const Shell& A, const Shell& B,
 
 // Full ERI tensor (nao^4), chemist notation, 8-fold symmetry, with
 // Cauchy-Schwarz screening |(ab|cd)| <= sqrt((ab|ab)) sqrt((cd|cd)).
+// omega > 0 computes the long-range erf(omega*r12)/r12 integrals instead
+// (the erf kernel is positive definite, so the Schwarz bound still holds
+// with attenuated diagonal factors).
 void nbed_eri(int n_shells, const int32_t* meta, const double* exps,
               const double* coefs, const double* c2s, const double* coords,
-              double* eri_out) {
+              double* eri_out, double omega) {
   Mol mol = unpack(n_shells, meta, exps, coefs, c2s, coords);
   const int nao = mol.nao;
   const size_t n2 = (size_t)nao * nao;
@@ -435,7 +448,7 @@ void nbed_eri(int n_shells, const int32_t* meta, const double* exps,
     for (size_t ib = 0; ib <= ia; ++ib) {
       const Shell& A = mol.shells[ia];
       const Shell& B = mol.shells[ib];
-      eri_quartet_cart(mol, A, B, A, B, cart);
+      eri_quartet_cart(mol, A, B, A, B, cart, omega);
       int na = ncart(A.l), nb = ncart(B.l);
       double mx = 0.0;
       for (int ca = 0; ca < na; ++ca)
@@ -457,7 +470,7 @@ void nbed_eri(int n_shells, const int32_t* meta, const double* exps,
     const Shell& C = mol.shells[ic];
     const Shell& D = mol.shells[id];
     int na = ncart(A.l), nb = ncart(B.l), nc = ncart(C.l), nd = ncart(D.l);
-    eri_quartet_cart(mol, A, B, C, D, cart);
+    eri_quartet_cart(mol, A, B, C, D, cart, omega);
 
     // cart -> sph
     int sa = 2 * A.l + 1, sb = 2 * B.l + 1, sc = 2 * C.l + 1, sd = 2 * D.l + 1;
@@ -504,7 +517,8 @@ void nbed_eri_3c(int n_shells, const int32_t* meta, const double* exps,
                  const double* coefs, const double* c2s, const double* coords,
                  int n_aux_shells, const int32_t* aux_meta,
                  const double* aux_exps, const double* aux_coefs,
-                 const double* aux_c2s, double* out /* (nao, nao, naux) */) {
+                 const double* aux_c2s, double* out /* (nao, nao, naux) */,
+                 double omega) {
   Mol mol = unpack(n_shells, meta, exps, coefs, c2s, coords);
   Mol aux = unpack(n_aux_shells, aux_meta, aux_exps, aux_coefs, aux_c2s,
                    coords);
@@ -526,7 +540,7 @@ void nbed_eri_3c(int n_shells, const int32_t* meta, const double* exps,
     dummy.l = 0; dummy.nprim = 1; dummy.atom = P.atom; dummy.ao_offset = 0;
     dummy.exps = &dummy_exp; dummy.coefs = &dummy_coef; dummy.c2s = &dummy_c2s;
     int na = ncart(A.l), nb = ncart(B.l), np = ncart(P.l);
-    eri_quartet_cart(mol, A, B, P, dummy, cart);
+    eri_quartet_cart(mol, A, B, P, dummy, cart, omega);
 
     int sa = 2 * A.l + 1, sb = 2 * B.l + 1, sp = 2 * P.l + 1;
     sph.assign((size_t)sa * sb * sp, 0.0);
@@ -558,7 +572,7 @@ void nbed_eri_3c(int n_shells, const int32_t* meta, const double* exps,
 void nbed_eri_2c(int n_aux_shells, const int32_t* aux_meta,
                  const double* aux_exps, const double* aux_coefs,
                  const double* aux_c2s, const double* coords,
-                 double* out /* (naux, naux) */) {
+                 double* out /* (naux, naux) */, double omega) {
   Mol aux = unpack(n_aux_shells, aux_meta, aux_exps, aux_coefs, aux_c2s,
                    coords);
   const int naux = aux.nao;
@@ -577,7 +591,7 @@ void nbed_eri_2c(int n_aux_shells, const int32_t* aux_meta,
     dp.exps = &dummy_exp; dp.coefs = &dummy_coef; dp.c2s = &dummy_c2s;
     dq = dp; dq.atom = Q.atom;
     int npc = ncart(P.l), nqc = ncart(Q.l);
-    eri_quartet_cart(aux, P, dp, Q, dq, cart);
+    eri_quartet_cart(aux, P, dp, Q, dq, cart, omega);
 
     int sp = 2 * P.l + 1, sq = 2 * Q.l + 1;
     sph.assign((size_t)sp * sq, 0.0);

@@ -51,7 +51,7 @@ def _spinify(dm):
     return dm
 
 
-def df_b_factor(mol, coords, beta: float = 1.8) -> np.ndarray:
+def df_b_factor(mol, coords, beta: float = 1.8, omega: float = 0.0) -> np.ndarray:
     """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP.
 
     Built from native 3-centre/2-centre integrals over an automatic
@@ -59,13 +59,18 @@ def df_b_factor(mol, coords, beta: float = 1.8) -> np.ndarray:
     eigenvalue-clipped for robustness.  Host-side (numpy) so callers can
     choose device placement/sharding of the result (the multi-chip path
     shards the aux axis, nbed_tpu/parallel/sharding.py).
+
+    ``omega > 0`` fits in the long-range erf(omega*r12)/r12 metric (both
+    the 3-centre integrals and the 2-centre metric are attenuated), the
+    factorisation used for the long-range exchange of range-separated
+    hybrids (same-metric fit, as PySCF's ``with_df`` does under RSH).
     """
     from .. import native
     from ..chem.basis.auxiliary import make_auxiliary_molecule
 
     aux = make_auxiliary_molecule(mol, beta=beta)
-    b3 = native.eri_3c(mol, aux, coords)
-    m2 = native.eri_2c(aux, coords)
+    b3 = native.eri_3c(mol, aux, coords, omega=omega)
+    m2 = native.eri_2c(aux, coords, omega=omega)
     w, v = np.linalg.eigh(m2)
     # canonical orthogonalisation: *discard* near-null metric directions
     # (clip-inverting them amplifies integral noise by 1/sqrt(w) and
@@ -75,6 +80,14 @@ def df_b_factor(mol, coords, beta: float = 1.8) -> np.ndarray:
     logger.debug("DF aux: %d functions, %d kept after metric pruning",
                  len(w), int(keep.sum()))
     return np.einsum("abP,PQ->abQ", b3, m_isqrt, optimize=True)
+
+
+def _df_k_spin(b, d):
+    """DF exchange K[i,j] = B_ikP d_kl B_jlP via the signed
+    eigen-decomposition of ``d`` (symmetric, not necessarily PSD)."""
+    w, u = jnp.linalg.eigh(d)
+    t = jnp.einsum("ikP,ko->ioP", b, u)
+    return jnp.einsum("ioP,joP,o->ij", t, t, w)
 
 
 # Hund's-rule unpaired-electron counts for neutral atoms (SAD guess)
@@ -197,14 +210,37 @@ class SCFEngine:
         return eri_tensor(self.mol, jnp.asarray(self.coords))
 
     @cached_property
+    def eri_lr(self):
+        """Long-range erf(omega*r12)/r12 AO ERIs (range-separated hybrids)."""
+        _, omega = self._rsh
+        if self._use_native:
+            from .. import native
+
+            return jnp.asarray(native.eri(self.mol, self.coords, omega=omega))
+        return eri_tensor(self.mol, jnp.asarray(self.coords), omega=omega)
+
+    @cached_property
     def eri_j(self):
         n = self.mol.nao
         return self.eri.reshape(n * n, n * n)
 
     @cached_property
     def eri_k(self):
+        """Exchange supermatrix (ik|jl).
+
+        For range-separated hybrids this is the *weighted* exchange kernel
+        hyb*K + beta*K_LR(omega) and the engine reports ``hyb == 1`` — every
+        consumer pairs ``-hyb*K(D)`` with this supermatrix, so folding the
+        range separation here covers the SCF loop, the f32/Pallas/incremental
+        paths and ``get_veff`` uniformly.
+        """
         n = self.mol.nao
-        return jnp.transpose(self.eri, (0, 2, 1, 3)).reshape(n * n, n * n)
+        k = jnp.transpose(self.eri, (0, 2, 1, 3)).reshape(n * n, n * n)
+        if self._rsh is None:
+            return k
+        beta, _ = self._rsh
+        k_lr = jnp.transpose(self.eri_lr, (0, 2, 1, 3)).reshape(n * n, n * n)
+        return self._xc_meta[1] * k + beta * k_lr
 
     # above ~4e7 AO-table elements (~320 MB in f64, x4 with gradients) the
     # XC closure streams AO evaluation per grid chunk instead
@@ -226,11 +262,28 @@ class SCFEngine:
                           weights.astype(dtype), self.xc)
 
     @cached_property
-    def _xc(self):
-        """(xc_fn or None, hyb)."""
+    def _xc_meta(self):
+        """(terms, hyb, rsh) of the functional; HF when xc is None."""
         if self.xc is None:
-            return None, 1.0
-        terms, hyb = resolve_functional(self.xc)
+            return [], 1.0, None
+        return resolve_functional(self.xc)
+
+    @property
+    def _rsh(self):
+        """(beta, omega) of a range-separated hybrid, else None."""
+        return self._xc_meta[2]
+
+    @cached_property
+    def _xc(self):
+        """(xc_fn or None, hyb).
+
+        For range-separated hybrids the reported hyb is 1.0: the
+        (hyb, beta, omega) exchange weights are folded into :attr:`eri_k`
+        (and the DF K build), so ``-hyb*K`` stays the universal contraction.
+        """
+        terms, hyb, rsh = self._xc_meta
+        if rsh is not None:
+            hyb = 1.0
         if not terms:
             return None, hyb
         return self._build_xc(jnp.float64), hyb
@@ -305,20 +358,20 @@ class SCFEngine:
             return None
         if self.density_fitting:
             b32 = self._df_b.astype(jnp.float32)
+            b32_lr = (None if self._rsh is None
+                      else self._df_b_lr.astype(jnp.float32))
 
             def jk(dm32):
                 d_tot = dm32[0] + dm32[1]
                 rho = jnp.einsum("abP,ab->P", b32, d_tot)
                 j = jnp.einsum("abP,P->ab", b32, rho)
-
-                def k_spin(d):
-                    # signed eigen-decomposition: delta densities are
-                    # symmetric but NOT positive semidefinite
-                    w, u = jnp.linalg.eigh(d)
-                    t = jnp.einsum("ikP,ko->ioP", b32, u)
-                    return jnp.einsum("ioP,joP,o->ij", t, t, w)
-
-                return j, jnp.stack([k_spin(dm32[0]), k_spin(dm32[1])])
+                k = jnp.stack([_df_k_spin(b32, dm32[0]),
+                               _df_k_spin(b32, dm32[1])])
+                if b32_lr is not None:
+                    k_lr = jnp.stack([_df_k_spin(b32_lr, dm32[0]),
+                                      _df_k_spin(b32_lr, dm32[1])])
+                    k = self._xc_meta[1] * k + self._rsh[0] * k_lr
+                return j, k
 
             return jk
         if self._pallas_jk_fn is not None:
@@ -350,22 +403,28 @@ class SCFEngine:
         """Metric-folded DF factor B[a,b,P] with (ab|cd) ~ sum_P B_abP B_cdP."""
         return jnp.asarray(df_b_factor(self.mol, self.coords, self.df_beta))
 
+    @cached_property
+    def _df_b_lr(self):
+        """DF factor in the long-range erf(omega*r12)/r12 metric (RSH K)."""
+        _, omega = self._rsh
+        return jnp.asarray(
+            df_b_factor(self.mol, self.coords, self.df_beta, omega=omega)
+        )
+
     def _df_jk(self, dm):
-        """DF J/K: Coulomb via the fitted density, exchange via an
-        eigen-decomposed density (works for any PSD density, not just
-        aufbau ones)."""
+        """DF J/K: Coulomb via the fitted density, exchange via a signed
+        eigen-decomposed density (valid for any symmetric density, incl.
+        the non-PSD delta densities of the incremental path).  For
+        range-separated hybrids K is the folded hyb*K + beta*K_LR."""
         b = self._df_b
         d_tot = dm[0] + dm[1]
         rho = jnp.einsum("abP,ab->P", b, d_tot)
         j = jnp.einsum("abP,P->ab", b, rho)
-
-        def k_spin(d):
-            w, u = jnp.linalg.eigh(d)
-            c_eff = u * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
-            t = jnp.einsum("ikP,ko->ioP", b, c_eff)
-            return jnp.einsum("ioP,joP->ij", t, t)
-
-        k = jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
+        k = jnp.stack([_df_k_spin(b, dm[0]), _df_k_spin(b, dm[1])])
+        if self._rsh is not None:
+            b_lr = self._df_b_lr
+            k_lr = jnp.stack([_df_k_spin(b_lr, dm[0]), _df_k_spin(b_lr, dm[1])])
+            k = self._xc_meta[1] * k + self._rsh[0] * k_lr
         return j, k
 
     def _sad_guess(self):
@@ -430,6 +489,8 @@ class SCFEngine:
         xc_fn, hyb = self._xc
         if self.density_fitting:
             self._df_b  # noqa: B018 — materialise outside any jax trace
+            if self._rsh is not None:
+                self._df_b_lr  # noqa: B018
         from_guess = False
         if (dm0 is None and self.init_guess == "sad"
                 and tuple(nelec) == tuple(self.mol.nelec) and v_emb is None):

@@ -49,7 +49,8 @@ __all__ = ["hf_gradient", "ks_gradient", "optimize_geometry"]
 
 
 def _energy_functional(mol: Molecule, dm, w_tot, hyb: float, xc_name=None,
-                       grid_scheme: str = "reference", grid_level: int = 3):
+                       grid_scheme: str = "reference", grid_level: int = 3,
+                       rsh=None):
     """Return E(x) with density/energy-weighted-density held fixed.
 
     ``dm``: (2, n, n) converged spin densities. ``w_tot``: (n, n) spin-summed
@@ -82,6 +83,15 @@ def _energy_functional(mol: Molecule, dm, w_tot, hyb: float, xc_name=None,
             jnp.einsum("ij,ikjl,kl", dm[s_], g, dm[s_]) for s_ in (0, 1)
         )
         e = e1 + ej - hyb * ek - jnp.sum(w_tot * s) + mol.energy_nuc(x)
+        if rsh is not None:
+            # range-separated hybrid: - beta * E_K over the long-range
+            # erf(omega*r12)/r12 ERIs (differentiable like the full kernel)
+            beta, omega = rsh
+            g_lr = eri_tensor(mol, x, omega=omega)
+            ek_lr = 0.5 * sum(
+                jnp.einsum("ij,ikjl,kl", dm[s_], g_lr, dm[s_]) for s_ in (0, 1)
+            )
+            e = e - beta * ek_lr
         if xc_name is not None:
             from ..dft.xc import make_xc_fn
             from ..grids import build_grid, eval_aos
@@ -98,7 +108,8 @@ def _energy_functional(mol: Molecule, dm, w_tot, hyb: float, xc_name=None,
 
 
 def _w_from_dm(mol, x, dm, hyb: float, xc_name=None,
-               grid_scheme: str = "reference", grid_level: int = 3):
+               grid_scheme: str = "reference", grid_level: int = 3,
+               rsh=None):
     """Energy-weighted density W = sum_s D_s F(D)_s D_s at coords ``x``."""
     dm = jnp.asarray(dm)
     h = kinetic(mol, x) + nuclear_attraction(mol, x)
@@ -112,6 +123,13 @@ def _w_from_dm(mol, x, dm, hyb: float, xc_name=None,
         [jnp.einsum("ikjl,kl->ij", g, dm[s_]) for s_ in (0, 1)]
     )
     f = h[None] + j[None] - hyb * k
+    if rsh is not None:
+        beta, omega = rsh
+        g_lr = eri_tensor(mol, x, omega=omega)
+        k_lr = jnp.stack(
+            [jnp.einsum("ikjl,kl->ij", g_lr, dm[s_]) for s_ in (0, 1)]
+        )
+        f = f - beta * k_lr
     if xc_name is not None:
         from ..dft.xc import make_xc_fn
         from ..grids import build_grid, eval_aos
@@ -203,12 +221,12 @@ def ks_gradient(
         dm = 0.5 * jnp.einsum("pi,i,qi->pq", c, occ, c)[None].repeat(2, 0)
     else:
         dm = jnp.einsum("spi,si,sqi->spq", c, occ, c)
-    _, hyb = resolve_functional(xc)
+    _, hyb, rsh = resolve_functional(xc)
     w_tot = _w_from_dm(mol, x, dm, hyb=hyb, xc_name=xc,
-                       grid_scheme=grid_scheme, grid_level=grid_level)
+                       grid_scheme=grid_scheme, grid_level=grid_level, rsh=rsh)
     energy = _energy_functional(
         mol, dm, w_tot, hyb=hyb, xc_name=xc,
-        grid_scheme=grid_scheme, grid_level=grid_level,
+        grid_scheme=grid_scheme, grid_level=grid_level, rsh=rsh,
     )
     grad = jax.grad(energy)(x)
     return solution.e_tot, grad, solution
