@@ -10,16 +10,29 @@ parametrisation (as in PySCF >= 2.3, which the reference pins —
 reference pyproject requires pyscf >= 2.3); 'b3lyp5' uses VWN5.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 __all__ = ["FUNCTIONALS", "resolve_functional"]
 
 _TINY = 1e-12
+# TPU f64 is emulated as a two-f32 "double-double": ~1e-13 precision but
+# f32's EXPONENT range (+-3.4e38, denormals flushed).  Any intermediate
+# outside that range — including autodiff quotient-rule denominators like
+# (r^{8/3})^2 — becomes inf/0 and poisons the whole grid reduction
+# (measured round 3: B3LYP exc NaN from rho~3e-11 tails).  A 1e-9 per-spin
+# floor keeps every power in range; the energy cost of masking below 1e-9
+# total density is ~5e-9 Ha (water/B3LYP sweep).
+_TINY_TPU = 1e-9
+
+
+def _tiny():
+    return _TINY_TPU if jax.default_backend() == "tpu" else _TINY
 
 
 def _safe(rho):
-    return jnp.maximum(rho, _TINY)
+    return jnp.maximum(rho, _tiny())
 
 
 # ----------------------------------------------------------------- exchange
@@ -110,7 +123,13 @@ def lyp_c(ra, rb, gaa, gab, gbb):
     rho = ra + rb
     rm13 = rho ** (-1.0 / 3.0)
     denom = 1.0 + d * rm13
-    omega = jnp.exp(-c * rm13) / denom * rho ** (-11.0 / 3.0)
+    # omega = exp(-c*rho^-1/3) * rho^(-11/3) / denom, with the power folded
+    # into the exponential: the bare rho**(-11/3) factor overflows the
+    # emulated-f64 exponent range on TPU (two-f32 "double-double" carries
+    # f32's +-3.4e38 range; rho ~ 3e-11 at grid tails -> 1e40 -> inf, then
+    # exp(-1176) * inf -> NaN, measured round 3).  Folded, the whole factor
+    # underflows cleanly to zero and its autodiff chain stays finite.
+    omega = jnp.exp(-c * rm13 - (11.0 / 3.0) * jnp.log(rho)) / denom
     delta = c * rm13 + d * rm13 / denom
     g_tot = gaa + 2.0 * gab + gbb
     term1 = -4.0 * a / denom * ra * rb / rho
@@ -162,7 +181,13 @@ def pbe_x(ra, rb, gaa, gab, gbb):
     def per_spin(r, g):
         r2 = 2.0 * _safe(r)  # spin scaling: Ex[ra,rb] = (Ex[2ra]+Ex[2rb])/2
         kf = (3.0 * np.pi**2 * r2) ** (1.0 / 3.0)
-        s2 = 4.0 * jnp.maximum(g, 0.0) / (4.0 * kf * kf * r2 * r2)
+        # s2 split as (g/r2^2) * r2^(-2/3): the single-quotient form
+        # g/(4 kf^2 r2^2) has an autodiff quotient-rule denominator
+        # ~ r2^(16/3), which leaves the emulated-f64 exponent range on TPU
+        # (flushes to 0 -> inf gradients for r2 < ~1e-8, measured round 3);
+        # each factor here stays within range down to the _safe floor.
+        u = jnp.maximum(g, 0.0) / (r2 * r2)
+        s2 = u * r2 ** (-2.0 / 3.0) / (4.0 * (3.0 * np.pi**2) ** (2.0 / 3.0))
         fx = 1.0 + kappa - kappa / (1.0 + mu * s2 / kappa)
         lda = -(3.0 / (4.0 * np.pi)) * kf * r2
         return 0.5 * lda * fx
@@ -250,7 +275,10 @@ def pbe_c(ra, rb, gaa, gab, gbb):
     kf = (3.0 * np.pi**2 * rho) ** (1.0 / 3.0)
     ks = jnp.sqrt(4.0 * kf / np.pi)
     gnorm2 = jnp.maximum(gaa + 2.0 * gab + gbb, 0.0)
-    t2 = gnorm2 / (2.0 * phi * ks * rho) ** 2
+    # split as (g/rho^2) / (2 phi ks)^2: the fused denominator
+    # (2 phi ks rho)^2 ~ rho^(7/3) makes the autodiff quotient-rule
+    # square ~ rho^(14/3) underflow the emulated-f64 range on TPU
+    t2 = gnorm2 / (rho * rho) / (2.0 * phi * ks) ** 2
     expo = jnp.exp(-eps / (gamma * phi**3))
     a_coef = (beta / gamma) / jnp.maximum(expo - 1.0, 1e-30)
     num = 1.0 + a_coef * t2

@@ -18,6 +18,19 @@ from .functionals import resolve_functional
 __all__ = ["make_xc_fn", "make_xc_fn_streaming"]
 
 
+def _mask_thresh(dtype):
+    """Density cut below which grid points are masked out of the XC math.
+
+    f64 on TPU is emulated with f32's exponent range (see
+    functionals._TINY_TPU): GGA intermediates for rho below ~1e-9 can
+    overflow/underflow it, so the TPU mask is coarser.  Measured cost of
+    1e-9 vs 1e-11 on water/B3LYP: 4.8e-9 Ha.
+    """
+    if dtype == jnp.float64:
+        return 1e-9 if jax.default_backend() == "tpu" else 1e-11
+    return 3e-6
+
+
 def _chunk_math(terms, thresh):
     """Per-chunk energy + potential contributions given AO tables."""
 
@@ -82,7 +95,7 @@ def make_xc_fn(ao, ao_grad, weights, xc_name: str, chunk: int = 131072):
     terms = resolve_functional(xc_name)[0]
     if not terms:
         return None
-    thresh = 1e-11 if ao.dtype == jnp.float64 else 3e-6
+    thresh = _mask_thresh(ao.dtype)
     one_chunk = _chunk_math(terms, thresh)
 
     ao_p, n_chunks = _pad_chunks(ao, chunk)
@@ -113,7 +126,7 @@ def make_xc_fn_streaming(mol, coords, points, weights, xc_name: str,
     if not terms:
         return None
     dtype = points.dtype if dtype is None else dtype
-    thresh = 1e-11 if dtype == jnp.float64 else 3e-6
+    thresh = _mask_thresh(dtype)
     one_chunk = _chunk_math(terms, thresh)
 
     pts_p, n_chunks = _pad_chunks(points, chunk)

@@ -98,17 +98,35 @@ _ATOM_SPIN = {1: 1, 2: 0, 3: 1, 4: 0, 5: 1, 6: 2, 7: 3, 8: 2, 9: 1, 10: 0,
 @lru_cache(maxsize=64)
 def _atomic_density(symbol: str, basis: str):
     """Spin-summed UHF density of the neutral atom (per-spin average), for
-    the superposition-of-atomic-densities initial guess."""
+    the superposition-of-atomic-densities initial guess.
+
+    Pinned to the host CPU backend when one is available: these are
+    microscopic SCFs whose per-op dispatch (and per-program compile) over
+    the remote-TPU tunnel used to dominate the pipeline's global-SCF stage.
+    """
+    import contextlib
+
+    import jax
+
     from ..chem import build_molecule
     from ..chem.periodic import SYMBOL_TO_Z
 
-    mol = build_molecule(f"1\n\n{symbol} 0.0 0.0 0.0", basis)
-    z = SYMBOL_TO_Z[symbol.capitalize()]
-    spin = _ATOM_SPIN.get(z, z % 2)
-    na = (z + spin) // 2
-    eng = SCFEngine(mol, conv_tol=1e-8, max_cycle=100, init_guess="hcore")
-    res = eng.kernel(nelec=(na, z - na))
-    dm = res.make_rdm1()
+    ctx = contextlib.nullcontext()
+    if jax.default_backend() != "cpu":
+        try:
+            ctx = jax.default_device(jax.devices("cpu")[0])
+        except RuntimeError:
+            pass
+    with ctx:
+        mol = build_molecule(f"1\n\n{symbol} 0.0 0.0 0.0", basis)
+        z = SYMBOL_TO_Z[symbol.capitalize()]
+        spin = _ATOM_SPIN.get(z, z % 2)
+        na = (z + spin) // 2
+        eng = SCFEngine(mol, conv_tol=1e-8, max_cycle=100,
+                        init_guess="hcore", jit_kernel="off",
+                        incremental_jk="off", pallas_jk="off")
+        res = eng.kernel(nelec=(na, z - na))
+        dm = res.make_rdm1()
     return 0.5 * np.asarray(dm[0] + dm[1])
 
 
@@ -146,6 +164,10 @@ class SCFEngine:
     rebase_every: int = 8  # full-f64 J/K rebuild period for incremental SCF
     init_guess: str = "sad"  # "sad" (superposition of atomic densities,
     # essential beyond ~50 AOs) | "hcore" (the reference Huzinaga-loop guess)
+    jit_kernel: str = "auto"  # fuse the whole kernel() — f32 warm-up,
+    # prologue, SCF loop, final Fock — into ONE compiled program with all
+    # big operands passed as jit arguments: "auto" (on TPU, where each
+    # eager dispatch pays remote-tunnel latency), "on", "off"
 
     def __post_init__(self):
         if self.coords is None:
@@ -246,20 +268,54 @@ class SCFEngine:
     # XC closure streams AO evaluation per grid chunk instead
     _XC_TABLE_LIMIT = 4e7
 
-    def _build_xc(self, dtype):
-        points, weights = build_grid(self.mol, jnp.asarray(self.coords),
-                                     n_rad=self.grid_size[0],
-                                     n_theta=self.grid_size[1],
-                                     scheme=self.grid_scheme,
-                                     level=self.grid_level)
+    @cached_property
+    def _grid(self):
+        return build_grid(self.mol, jnp.asarray(self.coords),
+                          n_rad=self.grid_size[0],
+                          n_theta=self.grid_size[1],
+                          scheme=self.grid_scheme,
+                          level=self.grid_level)
+
+    def _xc_pack(self, dtype):
+        """(static tag, array operands) for rebuilding the XC closure.
+
+        Split from the closure construction so the jitted kernel path can
+        pass the (large) AO tables as jit ARGUMENTS — a closure-captured
+        device array lowers to an HLO constant, which the remote-compile
+        tunnel rejects for big operands (HTTP 413, round 2)."""
+        if self.xc is None or not self._xc_meta[0]:
+            return "none", {}
+        points, weights = self._grid
         if points.shape[0] * self.mol.nao > self._XC_TABLE_LIMIT:
-            return make_xc_fn_streaming(
-                self.mol, jnp.asarray(self.coords), points, weights, self.xc,
-                dtype=dtype,
-            )
-        ao, ao_grad = eval_aos(self.mol, points, jnp.asarray(self.coords))
-        return make_xc_fn(ao.astype(dtype), ao_grad.astype(dtype),
-                          weights.astype(dtype), self.xc)
+            return "streaming", {
+                "points": points, "weights": weights,
+                "coords": jnp.asarray(self.coords),
+            }
+        ao, ao_grad = self._ao_tables
+        return "table", {
+            "ao": ao.astype(dtype), "grad": ao_grad.astype(dtype),
+            "w": weights.astype(dtype),
+        }
+
+    @cached_property
+    def _ao_tables(self):
+        points, _ = self._grid
+        return eval_aos(self.mol, points, jnp.asarray(self.coords))
+
+    def _xc_from(self, tag, arrs, dtype):
+        """Rebuild the XC closure from packed operands (jit-traceable)."""
+        if tag == "none":
+            return None
+        if tag == "table":
+            return make_xc_fn(arrs["ao"], arrs["grad"], arrs["w"], self.xc)
+        return make_xc_fn_streaming(
+            self.mol, arrs["coords"], arrs["points"], arrs["weights"],
+            self.xc, dtype=dtype,
+        )
+
+    def _build_xc(self, dtype):
+        tag, arrs = self._xc_pack(dtype)
+        return self._xc_from(tag, arrs, dtype)
 
     @cached_property
     def _xc_meta(self):
@@ -316,6 +372,14 @@ class SCFEngine:
         return ops
 
     @cached_property
+    def _pallas_enabled(self) -> bool:
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        mode = self.pallas_jk
+        return not (mode == "off" or (mode == "auto" and not on_tpu))
+
+    @cached_property
     def _pallas_jk_fn(self):
         """Fused-Pallas J/K closure over the f32 supermatrices, or None.
 
@@ -325,22 +389,36 @@ class SCFEngine:
         XLA matvecs).  Off-TPU the kernel runs only in interpret mode and
         only when explicitly requested (``pallas_jk="on"``, used by tests).
         """
+        if not self._pallas_enabled:
+            return None
         import jax
 
-        on_tpu = jax.default_backend() == "tpu"
-        mode = self.pallas_jk
-        if mode == "off" or (mode == "auto" and not on_tpu):
-            return None
         from ..ops.pallas_jk import fused_jk
 
         ops = self._f32_ops
         gj, gk = ops["eri_j"], ops["eri_k"]
-        interpret = not on_tpu
+        interpret = jax.default_backend() != "tpu"
 
         def jk(dm):
             return fused_jk(gj, gk, dm, interpret=interpret)
 
         return jk
+
+    @cached_property
+    def _inc_enabled(self) -> bool:
+        """Whether incremental f32 Fock builds are active.
+
+        "auto" also requires the problem to be big enough to pay back:
+        below ~48 AOs the emulated-f64 J/K is microseconds and the
+        incremental machinery only adds compile time + a polish loop
+        (water probe, TPU round 3: 170 s vs 20 s wall for the same answer).
+        """
+        import jax
+
+        on_tpu = jax.default_backend() == "tpu"
+        mode = self.incremental_jk
+        return not (mode == "off" or (mode == "auto"
+                                      and (not on_tpu or self.mol.nao < 48)))
 
     @cached_property
     def _jk_fast_fn(self):
@@ -350,11 +428,7 @@ class SCFEngine:
         :func:`run_scf`), so its f32 error decays with ``|dD|``; on TPU this
         moves nearly every Fock build from emulated-f64 to MXU-rate f32.
         """
-        import jax
-
-        on_tpu = jax.default_backend() == "tpu"
-        mode = self.incremental_jk
-        if mode == "off" or (mode == "auto" and not on_tpu):
+        if not self._inc_enabled:
             return None
         if self.density_fitting:
             b32 = self._df_b.astype(jnp.float32)
@@ -411,21 +485,24 @@ class SCFEngine:
             df_b_factor(self.mol, self.coords, self.df_beta, omega=omega)
         )
 
+    def _df_jk_from(self, b, b_lr, dm):
+        """DF J/K from explicit factors (jit-traceable; see :meth:`_df_jk`)."""
+        d_tot = dm[0] + dm[1]
+        rho = jnp.einsum("abP,ab->P", b, d_tot)
+        j = jnp.einsum("abP,P->ab", b, rho)
+        k = jnp.stack([_df_k_spin(b, dm[0]), _df_k_spin(b, dm[1])])
+        if b_lr is not None:
+            k_lr = jnp.stack([_df_k_spin(b_lr, dm[0]), _df_k_spin(b_lr, dm[1])])
+            k = self._xc_meta[1] * k + self._rsh[0] * k_lr
+        return j, k
+
     def _df_jk(self, dm):
         """DF J/K: Coulomb via the fitted density, exchange via a signed
         eigen-decomposed density (valid for any symmetric density, incl.
         the non-PSD delta densities of the incremental path).  For
         range-separated hybrids K is the folded hyb*K + beta*K_LR."""
-        b = self._df_b
-        d_tot = dm[0] + dm[1]
-        rho = jnp.einsum("abP,ab->P", b, d_tot)
-        j = jnp.einsum("abP,P->ab", b, rho)
-        k = jnp.stack([_df_k_spin(b, dm[0]), _df_k_spin(b, dm[1])])
-        if self._rsh is not None:
-            b_lr = self._df_b_lr
-            k_lr = jnp.stack([_df_k_spin(b_lr, dm[0]), _df_k_spin(b_lr, dm[1])])
-            k = self._xc_meta[1] * k + self._rsh[0] * k_lr
-        return j, k
+        b_lr = self._df_b_lr if self._rsh is not None else None
+        return self._df_jk_from(self._df_b, b_lr, dm)
 
     def _sad_guess(self):
         """Superposition-of-atomic-densities guess: block-diagonal assembly
@@ -441,9 +518,191 @@ class SCFEngine:
             dm[p0:p1, p0:p1] = blk
         return np.stack([dm, dm])
 
+    # -------------------------------------------------- fused jitted kernel
+    @cached_property
+    def _use_jit_kernel(self) -> bool:
+        import jax
+
+        mode = self.jit_kernel
+        return mode == "on" or (mode == "auto"
+                                and jax.default_backend() == "tpu")
+
+    @property
+    def _hyb_eff(self) -> float:
+        """HF-exchange weight as consumed by run_scf (1.0 under RSH, where
+        the range weights are folded into :attr:`eri_k` / the DF K)."""
+        _, hyb, rsh = self._xc_meta
+        return 1.0 if rsh is not None else hyb
+
+    @cached_property
+    def _kernel_operands(self):
+        """Big device operands for the fused kernel, passed as jit ARGUMENTS
+        (a closure-captured device array lowers to an HLO constant, which
+        the remote-compile tunnel rejects for multi-GB operands)."""
+        arrs = {"hcore": self.hcore, "s": self.s}
+        if self.density_fitting:
+            arrs["df_b"] = self._df_b
+            if self._rsh is not None:
+                arrs["df_b_lr"] = self._df_b_lr
+        else:
+            arrs["eri_j"] = self.eri_j
+            arrs["eri_k"] = self.eri_k
+        tag, xc_arrs = self._xc_pack(jnp.float64)
+        for key, val in xc_arrs.items():
+            arrs["xc_" + key] = val
+        return arrs
+
+    def _rebuild_fns(self, arrs):
+        """(jk_fn, jk_fast, xc_fn, xc_fast, eri_j, eri_k) from jit-arg
+        operands — closures capture tracers, never concrete big arrays."""
+        f32 = jnp.float32
+        tag, _ = self._xc_pack(jnp.float64)
+        xc_arrs = {k[3:]: v for k, v in arrs.items() if k.startswith("xc_")}
+        xc_fn = self._xc_from(tag, xc_arrs, jnp.float64)
+        if self.density_fitting:
+            b, b_lr = arrs["df_b"], arrs.get("df_b_lr")
+            eri_j = eri_k = None
+
+            def jk_fn(dm):
+                return self._df_jk_from(b, b_lr, dm)
+        else:
+            eri_j, eri_k = arrs["eri_j"], arrs["eri_k"]
+            jk_fn = None
+
+        jk_fast = None
+        xc_fast = None
+        if self._inc_enabled:
+            if self.density_fitting:
+                b32 = arrs["df_b"].astype(f32)
+                b32_lr = (arrs["df_b_lr"].astype(f32)
+                          if "df_b_lr" in arrs else None)
+
+                def jk_fast(dm32):
+                    return self._df_jk_from(b32, b32_lr, dm32)
+            else:
+                gj32, gk32 = eri_j.astype(f32), eri_k.astype(f32)
+                if self._pallas_enabled:
+                    import jax
+
+                    from ..ops.pallas_jk import fused_jk
+
+                    interpret = jax.default_backend() != "tpu"
+
+                    def jk_fast(dm32):
+                        return fused_jk(gj32, gk32, dm32, interpret=interpret)
+                else:
+                    n = self.mol.nao
+
+                    def jk_fast(dm32):
+                        j = (gj32 @ (dm32[0] + dm32[1]).reshape(-1))
+                        k = (gk32 @ dm32.reshape(2, n * n).T).T
+                        return j.reshape(n, n), k.reshape(2, n, n)
+            if xc_fn is not None:
+                xc32 = {k: v.astype(f32) for k, v in xc_arrs.items()} \
+                    if tag == "table" else xc_arrs
+                xc_fast = self._xc_from(tag, xc32, f32)
+        return jk_fn, jk_fast, xc_fn, xc_fast, eri_j, eri_k
+
+    @cached_property
+    def _jitted_kernel(self):
+        """One compiled program per call signature: f32 warm-up + SCF loop +
+        polish + final Fock, ~3 dispatches total instead of hundreds of
+        eager ops (each paying remote-tunnel latency on TPU)."""
+        import jax
+
+        def body(arrs, v_emb, dm0, dm_env_occ, dm_env_virt, *,
+                 nelec, conv_tol, dm_conv_tol, max_cycle, level_shift,
+                 warmup):
+            f32 = jnp.float32
+            hcore, s = arrs["hcore"], arrs["s"]
+            jk_fn, jk_fast, xc_fn, xc_fast, eri_j, eri_k = \
+                self._rebuild_fns(arrs)
+            hyb = self._hyb_eff
+            if warmup:
+                # f32 pre-SCF seeding the f64 solve (same role as the
+                # eager-path _f32_ops warm-up)
+                if self.density_fitting:
+                    b32 = arrs["df_b"].astype(f32)
+                    b32_lr = (arrs["df_b_lr"].astype(f32)
+                              if "df_b_lr" in arrs else None)
+
+                    def wjk(dm32):
+                        return self._df_jk_from(b32, b32_lr, dm32)
+
+                    weri_j = weri_k = None
+                elif self._pallas_enabled:
+                    from ..ops.pallas_jk import fused_jk
+
+                    gj32 = arrs["eri_j"].astype(f32)
+                    gk32 = arrs["eri_k"].astype(f32)
+                    interpret = jax.default_backend() != "tpu"
+
+                    def wjk(dm32):
+                        return fused_jk(gj32, gk32, dm32, interpret=interpret)
+
+                    weri_j = weri_k = None
+                else:
+                    wjk = None
+                    weri_j = arrs["eri_j"].astype(f32)
+                    weri_k = arrs["eri_k"].astype(f32)
+                tag, _ = self._xc_pack(jnp.float64)
+                xc_arrs = {k[3:]: v for k, v in arrs.items()
+                           if k.startswith("xc_")}
+                if xc_fn is not None:
+                    xc32 = {k: v.astype(f32) for k, v in xc_arrs.items()} \
+                        if tag == "table" else xc_arrs
+                    wxc = self._xc_from(tag, xc32, f32)
+                else:
+                    wxc = None
+                warm = run_scf(
+                    hcore=hcore.astype(f32), s=s.astype(f32),
+                    eri_j=weri_j, eri_k=weri_k, jk_fn=wjk,
+                    dm0=None if dm0 is None else dm0.astype(f32),
+                    nelec=nelec,
+                    v_emb=None if v_emb is None else v_emb.astype(f32),
+                    xc_fn=wxc, hyb=hyb,
+                    dm_env_occ=(None if dm_env_occ is None
+                                else dm_env_occ.astype(f32)),
+                    dm_env_virt=(None if dm_env_virt is None
+                                 else dm_env_virt.astype(f32)),
+                    conv_tol=1e-4, dm_conv_tol=1e-3, max_cycle=max_cycle,
+                )
+                dm0 = warm.dm.astype(jnp.float64)
+            return run_scf(
+                hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, jk_fn=jk_fn,
+                jk_fn_fast=jk_fast, xc_fn_fast=xc_fast,
+                rebase_every=self.rebase_every,
+                nelec=nelec, v_emb=v_emb, xc_fn=xc_fn, hyb=hyb,
+                dm_env_occ=dm_env_occ, dm_env_virt=dm_env_virt, dm0=dm0,
+                conv_tol=conv_tol, dm_conv_tol=dm_conv_tol,
+                max_cycle=max_cycle, level_shift=level_shift,
+            )
+
+        return jax.jit(body, static_argnames=(
+            "nelec", "conv_tol", "dm_conv_tol", "max_cycle", "level_shift",
+            "warmup",
+        ))
+
     # ------------------------------------------------------------ methods
     def energy_nuc(self):
         return float(self.mol.energy_nuc(jnp.asarray(self.coords)))
+
+    @cached_property
+    def _jitted_veff(self):
+        """One-dispatch veff for the driver's subsystem-DFT stage."""
+        import jax
+
+        def body(arrs, dm):
+            jk_fn, _, xc_fn, _, eri_j, eri_k = self._rebuild_fns(arrs)
+            if jk_fn is not None:
+                j, k = jk_fn(dm)
+            else:
+                n = self.mol.nao
+                j = (eri_j @ (dm[0] + dm[1]).reshape(-1)).reshape(n, n)
+                k = (eri_k @ dm.reshape(2, n * n).T).T.reshape(2, n, n)
+            return self._veff_math(dm, j, k, xc_fn, self._hyb_eff)
+
+        return jax.jit(body)
 
     def get_jk(self, dm):
         dm = _spinify(dm)
@@ -454,12 +713,8 @@ class SCFEngine:
         k = (self.eri_k @ dm.reshape(2, n * n).T).T.reshape(2, n, n)
         return j, k
 
-    def get_veff(self, dm) -> VeffResult:
-        """J + Vxc - hyb*K with pyscf-compatible energy components
-        (used by subsystem DFT, reference driver.py:344-345,391)."""
-        dm = _spinify(dm)
-        j, k = self.get_jk(dm)
-        xc_fn, hyb = self._xc
+    @staticmethod
+    def _veff_math(dm, j, k, xc_fn, hyb) -> VeffResult:
         if xc_fn is not None:
             exc, vxc = xc_fn(dm)
         else:
@@ -468,6 +723,16 @@ class SCFEngine:
         ecoul = 0.5 * jnp.einsum("ij,ji->", j, dm[0] + dm[1])
         exc = exc - 0.5 * hyb * jnp.einsum("sij,sji->", k, dm)
         return VeffResult(matrix=v, ecoul=ecoul, exc=exc)
+
+    def get_veff(self, dm) -> VeffResult:
+        """J + Vxc - hyb*K with pyscf-compatible energy components
+        (used by subsystem DFT, reference driver.py:344-345,391)."""
+        dm = _spinify(dm)
+        if self._use_jit_kernel:
+            return self._jitted_veff(self._kernel_operands, dm)
+        j, k = self.get_jk(dm)
+        xc_fn, hyb = self._xc
+        return self._veff_math(dm, j, k, xc_fn, hyb)
 
     def get_j(self, dm):
         return self.get_jk(dm)[0]
@@ -498,6 +763,24 @@ class SCFEngine:
             # calls keep the reference's modified-hcore guess)
             dm0 = self._sad_guess()
             from_guess = True
+        if self._use_jit_kernel:
+            res = self._jitted_kernel(
+                self._kernel_operands,
+                None if v_emb is None else jnp.asarray(v_emb),
+                None if dm0 is None else _spinify(dm0),
+                None if dm_env_occ is None else _spinify(dm_env_occ),
+                None if dm_env_virt is None else _spinify(dm_env_virt),
+                nelec=tuple(int(x) for x in nelec),
+                conv_tol=float(self.conv_tol if conv_tol is None
+                               else conv_tol),
+                dm_conv_tol=float(self.dm_conv_tol if dm_conv_tol is None
+                                  else dm_conv_tol),
+                max_cycle=int(self.max_cycle if max_cycle is None
+                              else max_cycle),
+                level_shift=float(level_shift),
+                warmup=bool(self.warmup_f32 and (dm0 is None or from_guess)),
+            )
+            return self._package(res, nelec, v_emb, dm_env_occ)
         if self.warmup_f32 and (dm0 is None or from_guess):
             f32 = jnp.float32
             ops = self._f32_ops
@@ -540,6 +823,10 @@ class SCFEngine:
             max_cycle=self.max_cycle if max_cycle is None else max_cycle,
             level_shift=level_shift,
         )
+        return self._package(res, nelec, v_emb, dm_env_occ)
+
+    def _package(self, res, nelec, v_emb, dm_env_occ) -> "SCFSolution":
+        """SCFResult (device arrays) -> SCFSolution (host result object)."""
         e_tot = float(res.e_elec) + self.energy_nuc()
         if not bool(res.converged):
             logger.warning("SCF has NOT converged (%s cycles).", int(res.n_iter))
