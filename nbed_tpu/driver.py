@@ -412,18 +412,14 @@ class NbedDriver:
         logger.info("Environment MO indices: %s", self.localized_system.enviro_mo_inds)
 
         with timer("subsystem_dft"):
-            self.e_act, self.e_env, self.two_e_cross = self._subsystem_dft(
-                self.localized_system
+            # one fused program: energy decomposition + embedding potential
+            # (reference runs five separate veff/J builds,
+            # driver.py:344-345,391,845-851)
+            (self.e_act, self.e_env, self.two_e_cross,
+             self.embedding_potential) = self._ks_engine.subsystem_decomposition(
+                self.localized_system.dm_active,
+                self.localized_system.dm_enviro,
             )
-
-            total_dm = (
-                self.localized_system.dm_active + self.localized_system.dm_enviro
-            )
-            g_act_and_env = np.asarray(self._ks_engine.get_veff(total_dm).matrix)
-            g_act = np.asarray(
-                self._ks_engine.get_veff(self.localized_system.dm_active).matrix
-            )
-            self.embedding_potential = g_act_and_env - g_act
 
         if cfg.projector in (ProjectorTypes.MU, ProjectorTypes.BOTH) or \
                 init_huzinaga_rhf_with_mu:
