@@ -95,8 +95,12 @@ def _df_k_spin(b, d):
 # NOT by geometry: every coordinate-dependent quantity enters the trace as a
 # jit argument, so a fresh engine (new driver, conformer step, warm bench
 # run) reuses the compiled program instead of paying a full re-trace
-# (~40-50 s per engine on the 1-core host, measured round 3).
+# (~40-50 s per engine on the 1-core host, measured round 3).  Bounded:
+# each program closes over the engine that built it, pinning that engine's
+# device operands (ERI supermatrices can be GBs) — insertion-order eviction
+# keeps a many-structure process from accumulating them.
 _JIT_PROGRAM_CACHE: dict = {}
+_JIT_PROGRAM_CACHE_MAX = 24
 
 
 # Hund's-rule unpaired-electron counts for neutral atoms (SAD guess)
@@ -572,6 +576,8 @@ class SCFEngine:
         key = (kind, self._jit_spec)
         fn = _JIT_PROGRAM_CACHE.get(key)
         if fn is None:
+            while len(_JIT_PROGRAM_CACHE) >= _JIT_PROGRAM_CACHE_MAX:
+                _JIT_PROGRAM_CACHE.pop(next(iter(_JIT_PROGRAM_CACHE)))
             fn = build()
             _JIT_PROGRAM_CACHE[key] = fn
         return fn
