@@ -41,6 +41,17 @@ def test_unrestricted_groundstate(water_uhf):
     )
 
 
+def test_jw_term_count_converged(water_uhf):
+    """The converged water/STO-3G Hamiltonian has exactly 1086 JW terms.
+
+    A run-to-run-stable count is a sharp convergence diagnostic: the TPU
+    limit-cycled/NaN'd SCFs of rounds 1-3 produced 1718/2090 terms because
+    near-zero integrals failed the EQ_TOLERANCE cut on unconverged
+    orbitals (bench.py tracks the same count on-device)."""
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    assert len(jordan_wigner(const, h1, h2).terms) == 1086
+
+
 def test_charged_groundstate(water_xyz):
     """Unrestricted, charged open-shell (reference test_builder.py:87-120)."""
     mol = build_molecule(water_xyz, "sto-3g", charge=1, spin=1)
