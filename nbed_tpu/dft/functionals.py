@@ -287,6 +287,128 @@ def pbe_c(ra, rb, gaa, gab, gbb):
     return rho * (eps + h)
 
 
+# ------------------------------------------------------------- meta-GGA (tau)
+
+def _tpss_fx(r2, g2, t2):
+    """TPSS exchange enhancement factor for an unpolarized density.
+
+    Tao-Perdew-Staroverov-Scuseria (PRL 91, 146401 (2003)), Eqs. 5-10:
+    F_x = 1 + kappa - kappa/(1 + x/kappa) with the inhomogeneity variable
+    x(p, z, alpha) built from p = s^2, z = tau_W/tau and
+    q_b = (9/20)(alpha-1)/sqrt(1 + b alpha(alpha-1)) + 2p/3.
+
+    All intermediates are kept within the emulated-f64 exponent range on
+    TPU (see _TINY_TPU): p and alpha are clamped at values far beyond where
+    F_x has saturated, and the s^2 quotient is split into range-safe
+    factors like pbe_x.
+    """
+    kappa, b, c, e, mu = 0.804, 0.40, 1.59096, 1.537, 0.21951
+    r2 = _safe(r2)
+    g2 = jnp.maximum(g2, 0.0)
+    # p = s^2, split to keep autodiff denominators in range (cf. pbe_x)
+    u = g2 / (r2 * r2)
+    p = u * r2 ** (-2.0 / 3.0) / (4.0 * (3.0 * np.pi**2) ** (2.0 / 3.0))
+    p = jnp.clip(p, 0.0, 1.0e4)  # F_x(p>100) is saturated at 1+kappa
+    tau_w = 0.125 * u * r2  # |grad rho|^2 / (8 rho)
+    tau_unif = 0.3 * (3.0 * np.pi**2) ** (2.0 / 3.0) * r2 ** (5.0 / 3.0)
+    t2 = jnp.maximum(t2, tau_w + _tiny() * tau_unif)  # tau >= tau_W exactly
+    z = jnp.clip(tau_w / t2, 0.0, 1.0)
+    alpha = jnp.clip((t2 - tau_w) / tau_unif, 0.0, 1.0e6)
+    q_b = (0.45 * (alpha - 1.0)
+           / jnp.sqrt(1.0 + b * alpha * (alpha - 1.0))
+           + 2.0 * p / 3.0)
+    z2 = z * z
+    zp2 = (0.6 * z) ** 2
+    x = (
+        (10.0 / 81.0 + c * z2 / (1.0 + z2) ** 2) * p
+        + (146.0 / 2025.0) * q_b * q_b
+        - (73.0 / 405.0) * q_b * jnp.sqrt(0.5 * zp2 + 0.5 * p * p)
+        + (1.0 / kappa) * (10.0 / 81.0) ** 2 * p * p
+        + 2.0 * np.sqrt(e) * (10.0 / 81.0) * zp2
+        + e * mu * p**3
+    ) / (1.0 + np.sqrt(e) * p) ** 2
+    return 1.0 + kappa - kappa / (1.0 + x / kappa)
+
+
+def tpss_x(ra, rb, gaa, gab, gbb, ta, tb):
+    """TPSS meta-GGA exchange, spin-scaled: E_x[ra,rb] =
+    (E_x[2 ra] + E_x[2 rb])/2 with per-spin (2 rho_s, 4 sigma_ss, 2 tau_s).
+    """
+
+    def per_spin(r, g, t):
+        r2 = 2.0 * _safe(r)
+        kf = (3.0 * np.pi**2 * r2) ** (1.0 / 3.0)
+        lda = -(3.0 / (4.0 * np.pi)) * kf * r2
+        return 0.5 * lda * _tpss_fx(r2, 4.0 * jnp.maximum(g, 0.0), 2.0 * t)
+
+    return per_spin(ra, gaa, ta) + per_spin(rb, gbb, tb)
+
+
+def _pbe_c_per_particle(ra, rb, gaa, gab, gbb):
+    return pbe_c(ra, rb, gaa, gab, gbb) / _safe(ra + rb)
+
+
+def tpss_c(ra, rb, gaa, gab, gbb, ta, tb):
+    """TPSS meta-GGA correlation (PRL 91, 146401 (2003), Eqs. 11-14).
+
+    eps_c = eps_revPKZB (1 + d eps_revPKZB z^3), d = 2.8,
+    eps_revPKZB = eps_PBE (1 + C(zeta,xi) z^2)
+                  - (1 + C(zeta,xi)) z^2 sum_s (rho_s/rho) eps_tilde_s,
+    eps_tilde_s = max[eps_PBE(rho_s, 0, sigma_ss, 0, 0), eps_PBE(full)],
+    z = tau_W/tau (total), C(zeta,0) = 0.53 + 0.87 zeta^2 + 0.50 zeta^4
+    + 2.26 zeta^6 damped by (1 + xi^2 ((1+zeta)^{-4/3}+(1-zeta)^{-4/3})/2)^-4
+    with xi = |grad zeta| / (2 (3 pi^2 rho)^{1/3}).
+
+    One-electron limit (rb = 0, tau = tau_W): eps_revPKZB -> eps_PBE (1 -
+    z^2) -> 0, so the correlation is exactly self-interaction free — the
+    constraint tests/test_xc.py checks numerically.
+    """
+    d = 2.8
+    ra = _safe(ra)
+    rb = _safe(rb)
+    rho = ra + rb
+    g_tot = jnp.maximum(gaa + 2.0 * gab + gbb, 0.0)
+    tau = jnp.maximum(ta + tb, _tiny())
+    tau_w = 0.125 * g_tot / rho
+    z = jnp.clip(tau_w / jnp.maximum(tau, tau_w), 0.0, 1.0)
+    z2 = z * z
+
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    # |grad zeta|^2 = 4 (rb^2 gaa - 2 ra rb gab + ra^2 gbb) / rho^4, split
+    # into range-safe factors (za, zb <= 1; g/rho^2 bounded at the mask
+    # floor); xi^2 = |grad zeta|^2 / (4 (3 pi^2)^{2/3} rho^{2/3}).
+    za, zb = ra / rho, rb / rho
+    gz2 = 4.0 * jnp.maximum(
+        zb * zb * (gaa / (rho * rho))
+        - 2.0 * za * zb * (gab / (rho * rho))
+        + za * za * (gbb / (rho * rho)),
+        0.0,
+    )
+    xi2 = gz2 * rho ** (-2.0 / 3.0) / (4.0 * (3.0 * np.pi**2) ** (2.0 / 3.0))
+    c0 = 0.53 + zeta**2 * (0.87 + zeta**2 * (0.50 + 2.26 * zeta**2))
+    damp_arg = xi2 * 0.5 * ((1.0 + zeta) ** (-4.0 / 3.0)
+                            + (1.0 - zeta) ** (-4.0 / 3.0))
+    # (1 + u)^-4 via exp(-4 log1p(u)): u reaches ~1e24 at TPU grid tails and
+    # the direct 4th power would overflow the emulated-f64 exponent range;
+    # the exponential underflows cleanly to zero instead.
+    c_zx = c0 * jnp.exp(-4.0 * jnp.log1p(damp_arg))
+
+    eps_full = _pbe_c_per_particle(ra, rb, gaa, gab, gbb)
+    zero = jnp.zeros_like(ra)
+    eps_a = jnp.maximum(_pbe_c_per_particle(ra, zero, gaa, zero, zero),
+                        eps_full)
+    eps_b = jnp.maximum(_pbe_c_per_particle(rb, zero, gbb, zero, zero),
+                        eps_full)
+    eps_rev = (eps_full * (1.0 + c_zx * z2)
+               - (1.0 + c_zx) * z2 * (za * eps_a + zb * eps_b))
+    eps = eps_rev * (1.0 + d * eps_rev * z2 * z)
+    return rho * eps
+
+
+tpss_x.needs_tau = True
+tpss_c.needs_tau = True
+
+
 # ------------------------------------------------------------------ registry
 
 # name -> (terms [(coef, fn)], hyb fraction of HF exchange) or
@@ -310,6 +432,9 @@ FUNCTIONALS = {
     ),
     "pbe": ([(1.0, pbe_x), (1.0, pbe_c)], 0.0),
     "pbe0": ([(0.75, pbe_x), (1.0, pbe_c)], 0.25),
+    # meta-GGA (tau-dependent): TPSS and its 10%-exact-exchange hybrid.
+    "tpss": ([(1.0, tpss_x), (1.0, tpss_c)], 0.0),
+    "tpssh": ([(0.90, tpss_x), (1.0, tpss_c)], 0.10),
     "pw92": ([(1.0, slater_x), (1.0, pw92_c)], 0.0),
     # CAM-B3LYP (Yanai-Tew-Handy, CPL 393, 51 (2004)): exact exchange
     # 0.19 full-range + 0.46 long-range(omega=0.33); DFT exchange is the

@@ -32,20 +32,33 @@ def _mask_thresh(dtype):
 
 
 def _chunk_math(terms, thresh):
-    """Per-chunk energy + potential contributions given AO tables."""
+    """Per-chunk energy + potential contributions given AO tables.
 
-    def e_density(ra, rb, gaa, gab, gbb):
+    When any functional term is tau-dependent (``fn.needs_tau``, meta-GGAs)
+    the chunk additionally builds the per-spin kinetic-energy density
+    tau_s = 1/2 sum_d (grad_d phi) D_s (grad_d phi) and the corresponding
+    potential term V_tau[pq] = 1/2 sum_g v_tau(g) grad phi_p . grad phi_q
+    (dtau/dD is symmetric in pq, so no +transpose).
+    """
+    needs_tau = any(getattr(fn, "needs_tau", False) for _, fn in terms)
+
+    def e_density(ra, rb, gaa, gab, gbb, ta, tb):
         mask = (ra + rb) > thresh
         safe = lambda x: jnp.where(mask, x, 1.0)  # noqa: E731
         out = 0.0
         for coef, fn in terms:
-            out = out + coef * fn(safe(ra), safe(rb), safe(gaa), safe(gab),
-                                  safe(gbb))
+            if getattr(fn, "needs_tau", False):
+                out = out + coef * fn(safe(ra), safe(rb), safe(gaa),
+                                      safe(gab), safe(gbb), safe(ta),
+                                      safe(tb))
+            else:
+                out = out + coef * fn(safe(ra), safe(rb), safe(gaa),
+                                      safe(gab), safe(gbb))
         return jnp.where(mask, out, 0.0)
 
     def one_chunk(ao_c, grad_c, w_c, dm):
-        def total_e(ra, rb, gaa, gab, gbb):
-            return jnp.sum(w_c * e_density(ra, rb, gaa, gab, gbb))
+        def total_e(ra, rb, gaa, gab, gbb, ta, tb):
+            return jnp.sum(w_c * e_density(ra, rb, gaa, gab, gbb, ta, tb))
 
         ao_d = jnp.einsum("gp,spq->sgq", ao_c, dm)  # (2, C, nao)
         rho = jnp.einsum("sgq,gq->sg", ao_d, ao_c)
@@ -53,22 +66,32 @@ def _chunk_math(terms, thresh):
         gaa = jnp.einsum("dg,dg->g", grho[0], grho[0])
         gbb = jnp.einsum("dg,dg->g", grho[1], grho[1])
         gab = jnp.einsum("dg,dg->g", grho[0], grho[1])
-        exc, partials = jax.value_and_grad(total_e, argnums=(0, 1, 2, 3, 4))(
-            rho[0], rho[1], gaa, gab, gbb
-        )
+        if needs_tau:
+            grad_d = jnp.einsum("dgp,spq->sdgq", grad_c, dm)
+            tau = 0.5 * jnp.einsum("sdgq,dgq->sg", grad_d, grad_c)
+            ta, tb = tau[0], tau[1]
+        else:
+            ta = tb = jnp.zeros_like(rho[0])
+        exc, partials = jax.value_and_grad(
+            total_e, argnums=(0, 1, 2, 3, 4, 5, 6)
+        )(rho[0], rho[1], gaa, gab, gbb, ta, tb)
         # keep the expensive grid GEMMs in the working precision (f64 numpy
         # constants inside functionals otherwise promote under x64)
         dt = ao_c.dtype
-        vra, vrb, vgaa, vgab, vgbb = [p.astype(dt) for p in partials]
+        vra, vrb, vgaa, vgab, vgbb, vta, vtb = [p.astype(dt) for p in partials]
 
-        def vmat(vr, vg_ss, vg_ab, grho_s, grho_t):
+        def vmat(vr, vg_ss, vg_ab, grho_s, grho_t, vt):
             m = jnp.einsum("g,gp,gq->pq", vr, ao_c, ao_c)
             vec = 2.0 * vg_ss[None, :] * grho_s + vg_ab[None, :] * grho_t
             half = jnp.einsum("dg,dgp,gq->pq", vec, grad_c, ao_c)
-            return m + half + half.T
+            out = m + half + half.T
+            if needs_tau:
+                out = out + 0.5 * jnp.einsum("g,dgp,dgq->pq", vt, grad_c,
+                                             grad_c)
+            return out
 
-        va = vmat(vra, vgaa, vgab, grho[0], grho[1])
-        vb = vmat(vrb, vgbb, vgab, grho[1], grho[0])
+        va = vmat(vra, vgaa, vgab, grho[0], grho[1], vta)
+        vb = vmat(vrb, vgbb, vgab, grho[1], grho[0], vtb)
         return exc.astype(dt), jnp.stack([va, vb])
 
     return one_chunk

@@ -33,8 +33,9 @@ def test_df_hf_energy(water_molecule, water_uhf):
     df = SCFEngine(water_molecule, conv_tol=1e-10, dm_conv_tol=1e-8,
                    max_cycle=100, density_fitting=True).kernel()
     assert df.converged
-    # measured +8.4e-6 with the default auto-aux (beta=1.8, l_max_factor=3)
-    assert abs(df.e_tot - water_uhf.e_tot) < 2e-5
+    # measured +8.4e-6 with the default auto-aux (beta=1.8, l_max_factor=3);
+    # parity-grade bound (<=1e-5 Ha) per the round-2 review worklist
+    assert abs(df.e_tot - water_uhf.e_tot) < 1e-5
 
 
 def test_df_hamiltonian_builder(water_molecule, water_uhf):
@@ -56,5 +57,5 @@ def test_df_b3lyp_energy(water_molecule, water_uks):
     df = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9, max_cycle=100,
                    density_fitting=True).kernel()
     assert df.converged
-    # measured 5.3e-6 with the default auto-aux
-    assert abs(df.e_tot - water_uks.e_tot) < 2e-5
+    # measured 5.3e-6 with the default auto-aux; parity-grade bound
+    assert abs(df.e_tot - water_uks.e_tot) < 1e-5
