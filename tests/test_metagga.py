@@ -105,6 +105,46 @@ def test_tpss_scf_water(water_molecule):
 
 
 @pytest.mark.slow
+def test_tpss_streaming_xc_matches_tables(water_molecule):
+    """The O(chunk*nao)-memory streaming XC path carries the tau channel
+    identically to the table path (pfoa-scale molecules use streaming)."""
+    eng = SCFEngine(water_molecule, xc="tpss", conv_tol=1e-9,
+                    dm_conv_tol=1e-7, max_cycle=60)
+    eng._XC_TABLE_LIMIT = 0  # force streaming
+    sol = eng.kernel()
+    assert sol.converged
+    assert np.isclose(sol.e_tot, -75.32293726424629, atol=1e-10)
+
+
+@pytest.mark.slow
+def test_h2_tpss_gradient_matches_finite_difference():
+    """Analytic nuclear gradients flow through the tau channel (the grid
+    kinetic-energy density depends on coords via the AO gradients)."""
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.solvers.gradients import ks_gradient
+
+    mol = build_molecule("2\n\nH 0.0 0.0 0.0\nH 0.0 0.0 0.78\n", "sto-3g")
+    e, grad, _ = ks_gradient(mol, "tpss", conv_tol=1e-12, dm_conv_tol=1e-10,
+                             max_cycle=200)
+    step = 2e-4
+    coords = np.asarray(mol.coords)
+    fd = {}
+    for a, k in [(0, 2), (1, 2)]:
+        es = []
+        for sgn in (+1, -1):
+            c = coords.copy()
+            c[a, k] += sgn * step
+            ep, _, _ = ks_gradient(mol, "tpss", coords=jnp.asarray(c),
+                                   conv_tol=1e-12, dm_conv_tol=1e-10,
+                                   max_cycle=200)
+            es.append(float(ep))
+        fd[(a, k)] = (es[0] - es[1]) / (2 * step)
+    for a, k in [(0, 2), (1, 2)]:
+        assert abs(float(grad[a, k]) - fd[(a, k)]) < 1e-6
+    assert np.max(np.abs(np.asarray(grad).sum(axis=0))) < 1e-9
+
+
+@pytest.mark.slow
 def test_tpssh_hybrid_scf_water(water_molecule):
     sol = SCFEngine(water_molecule, xc="tpssh", conv_tol=1e-9,
                     dm_conv_tol=1e-7, max_cycle=60).kernel()
