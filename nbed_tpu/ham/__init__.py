@@ -14,6 +14,7 @@ from .qubit import (
     bravyi_kitaev,
     jordan_wigner,
     measurement_groups,
+    parity_transform,
     pauli_ground_state,
     pauli_sum_to_sparse,
 )
@@ -25,6 +26,7 @@ __all__ = [
     "EQ_TOLERANCE",
     "jordan_wigner",
     "bravyi_kitaev",
+    "parity_transform",
     "PauliSum",
     "pauli_sum_to_sparse",
     "pauli_ground_state",

@@ -2,9 +2,9 @@
 
 Pauli strings are stored in canonical symplectic form ``coeff * X^x Z^z``
 (per-qubit overlap X&Z encodes Y up to a tracked phase), so products are two
-XORs and a popcount-controlled sign — no symbolic algebra. Jordan-Wigner and
-Bravyi-Kitaev (Fenwick-tree / Seeley-Richard-Love construction) share one
-ladder-operator interface.
+XORs and a popcount-controlled sign — no symbolic algebra. Jordan-Wigner,
+Bravyi-Kitaev (Fenwick-tree / Seeley-Richard-Love construction) and the
+parity encoding share one ladder-operator interface.
 
 Replaces the reference's OpenFermion usage (``jordan_wigner`` +
 ``InteractionOperator``, reference tests/test_builder.py:62-68); qubit-
@@ -16,7 +16,7 @@ import os
 import numpy as np
 from scipy.sparse.linalg import LinearOperator, eigsh
 
-__all__ = ["PauliSum", "jordan_wigner", "bravyi_kitaev",
+__all__ = ["PauliSum", "jordan_wigner", "bravyi_kitaev", "parity_transform",
            "pauli_sum_to_sparse", "pauli_ground_state"]
 
 
@@ -139,7 +139,21 @@ def _ladder_factory(mapping: str, n: int):
         # a = (c + i d)/2, a+ = (c - i d)/2 — halves folded into the 0.5s
         return [c_term, (sign * d_term[0] * 1.0, d_term[1], d_term[2])]
 
-    return jw if mapping == "jw" else bk
+    def parity(mode, dagger):
+        # Parity encoding: qubit j stores (n_0 + ... + n_j) mod 2, the
+        # degenerate-Fenwick limit of BK — update set = every qubit above j,
+        # parity set = {j-1}, flip set = {j-1} (so d_j carries no Z).
+        #   c_j = X_{j+1..n-1} X_j Z_{j-1}
+        #   d_j = X_{j+1..n-1} Y_j
+        upper = (((1 << n) - 1) >> (mode + 1)) << (mode + 1)
+        xmask = upper | (1 << mode)
+        pmask = (1 << (mode - 1)) if mode > 0 else 0
+        c_term = (0.5, xmask, pmask)
+        d_term = (0.5j, xmask, 1 << mode)
+        sign = -1j if dagger else 1j
+        return [c_term, (sign * d_term[0] * 1.0, d_term[1], d_term[2])]
+
+    return {"jw": jw, "bk": bk, "parity": parity}[mapping]
 
 
 def _parity64(arr):
@@ -197,11 +211,13 @@ def _map_interaction_operator(constant, h1, h2, mapping: str, tol=1e-12) -> Paul
         out.add(complex(constant), 0, 0)
         return out.compress(tol)
 
-    # JW ladder scalars are real (+-1/2): with real integrals every
-    # intermediate coefficient is real, and float64 halves the memory
-    # traffic of the sort/gather/segment-sum pipeline vs complex128.
+    # JW and parity ladder scalars are real (+-1/2) in canonical X^xZ^z
+    # form: with real integrals every intermediate coefficient is real, and
+    # float64 halves the memory traffic of the sort/gather/segment-sum
+    # pipeline vs complex128. (Canonical-form string products only ever
+    # contribute +-1 phases, so realness of the table scalars is sufficient.)
     cdt = (np.float64
-           if mapping == "jw"
+           if mapping in ("jw", "parity")
            and not np.iscomplexobj(h1) and not np.iscomplexobj(h2)
            else np.complex128)
 
@@ -326,6 +342,18 @@ def jordan_wigner(constant, h1, h2, tol=1e-12) -> PauliSum:
 def bravyi_kitaev(constant, h1, h2, tol=1e-12) -> PauliSum:
     """BK-map (Fenwick-tree construction) an interaction operator."""
     return _map_interaction_operator(constant, h1, h2, "bk", tol)
+
+
+def parity_transform(constant, h1, h2, tol=1e-12) -> PauliSum:
+    """Parity-encode an interaction operator (qubit j stores the mod-2
+    particle count of modes 0..j).
+
+    Number-parity conservation becomes the *single-qubit* symmetry
+    Z_{n-1} — no term touches the last qubit with X or Y — so
+    :func:`nbed_tpu.ham.taper` removes that qubit with a 1-sparse
+    Clifford (the textbook "two-qubit reduction" is this plus the mid-
+    register spin-parity qubit under blocked spin ordering)."""
+    return _map_interaction_operator(constant, h1, h2, "parity", tol)
 
 
 def _term_arrays(psum: PauliSum):

@@ -75,6 +75,52 @@ def test_jw_bk_spectra_agree(water_uhf):
     )
 
 
+def test_parity_encoding(water_uhf):
+    """Parity encoding: isospectral with JW, no X/Y ever touches the top
+    qubit (total number parity lives there as a plain Z), the single-qubit
+    Z_{n-1} symmetry is found and tapered, and the python/native term
+    engines agree."""
+    import os
+
+    from nbed_tpu.ham import (
+        find_z2_symmetries,
+        parity_transform,
+        taper_auto,
+    )
+
+    reduced = reduce_virtuals(water_uhf, 3)  # 8 qubits: cheap full spectra
+    const, h1, h2 = HamiltonianBuilder(reduced, 0).build()
+    jw = jordan_wigner(const, h1, h2)
+    par = parity_transform(const, h1, h2)
+    assert np.allclose(
+        pauli_ground_state(jw, k=4), pauli_ground_state(par, k=4), atol=1e-8
+    )
+    top = 1 << (par.n_qubits - 1)
+    assert all(not (x & top) for (x, _) in par.terms)
+    syms = find_z2_symmetries(par)
+    # Z_{n-1} (total number parity) is in the Z-type symmetry group span
+    span = {0}
+    for z in (s.z for s in syms if s.x == 0):
+        span |= {z ^ v for v in span}
+    assert top in span
+    tp, _, _ = taper_auto(par)
+    assert tp.n_qubits < par.n_qubits
+    assert np.isclose(pauli_ground_state(tp)[0],
+                      pauli_ground_state(par)[0], atol=1e-9)
+    # python numpy pipeline (f64 fast path) == native C++ engine
+    old = os.environ.get("NBED_TPU_QUBIT")
+    try:
+        os.environ["NBED_TPU_QUBIT"] = "python"
+        py = parity_transform(const, h1, h2)
+    finally:
+        if old is None:
+            os.environ.pop("NBED_TPU_QUBIT", None)
+        else:
+            os.environ["NBED_TPU_QUBIT"] = old
+    assert set(py.terms) == set(par.terms)
+    assert max(abs(py.terms[k] - par.terms[k]) for k in py.terms) < 1e-12
+
+
 def test_reduce_virtuals(water_rhf, water_uhf):
     reduced_r = reduce_virtuals(water_rhf, 1)
     reduced_u = reduce_virtuals(water_uhf, 1)

@@ -46,7 +46,11 @@ def test_native_qubit_terms_match_python():
     BK, complex coefficients included)."""
     import os
 
-    from nbed_tpu.ham.qubit import bravyi_kitaev, jordan_wigner
+    from nbed_tpu.ham.qubit import (
+        bravyi_kitaev,
+        jordan_wigner,
+        parity_transform,
+    )
 
     assert native.qubit_available()
     rng = np.random.default_rng(11)
@@ -56,7 +60,7 @@ def test_native_qubit_terms_match_python():
     h2 = rng.normal(size=(n,) * 4) * (rng.random((n,) * 4) < 0.25)
     old = os.environ.get("NBED_TPU_QUBIT")
     try:
-        for fn in (jordan_wigner, bravyi_kitaev):
+        for fn in (jordan_wigner, bravyi_kitaev, parity_transform):
             os.environ["NBED_TPU_QUBIT"] = "python"
             py = fn(0.25, h1, h2)
             os.environ["NBED_TPU_QUBIT"] = "native"
