@@ -158,6 +158,9 @@ class SCFEngine:
     mol: Molecule
     xc: Optional[str] = None
     restricted: bool = False
+    rohf: bool = False  # restricted open shell (ROHF/ROKS): both spins
+    # share spatial orbitals via Roothaan's effective Fock; reference
+    # parity target is the PySCF scf.ROHF surface (SURVEY §2.3)
     conv_tol: float = 1e-6
     dm_conv_tol: float = 1e-6
     max_cycle: int = 50
@@ -567,7 +570,7 @@ class SCFEngine:
             tuple(int(z) for z in np.asarray(mol.atom_charges)),
             mol.basis, mol.charge, mol.spin,
             self.mol.mm_coords is not None,
-            self.xc, self.density_fitting, float(self.df_beta),
+            self.xc, self.rohf, self.density_fitting, float(self.df_beta),
             self._inc_enabled, self._pallas_enabled, int(self.rebase_every),
             self.grid_scheme, tuple(self.grid_size), int(self.grid_level),
         )
@@ -721,6 +724,7 @@ class SCFEngine:
                     dm_env_virt=(None if dm_env_virt is None
                                  else dm_env_virt.astype(f32)),
                     conv_tol=1e-4, dm_conv_tol=1e-3, max_cycle=max_cycle,
+                    rohf=self.rohf,
                 )
                 dm0 = warm.dm.astype(jnp.float64)
             return run_scf(
@@ -731,6 +735,7 @@ class SCFEngine:
                 dm_env_occ=dm_env_occ, dm_env_virt=dm_env_virt, dm0=dm0,
                 conv_tol=conv_tol, dm_conv_tol=dm_conv_tol,
                 max_cycle=max_cycle, level_shift=level_shift,
+                rohf=self.rohf,
             )
 
         return self._shared_jit("kernel", lambda: jax.jit(
@@ -923,6 +928,7 @@ class SCFEngine:
                              else _spinify(dm_env_virt).astype(f32)),
                 conv_tol=1e-4, dm_conv_tol=1e-3,
                 max_cycle=self.max_cycle if max_cycle is None else max_cycle,
+                rohf=self.rohf,
             )
             dm0 = warm.dm.astype(jnp.float64)
         res = run_scf(
@@ -945,6 +951,7 @@ class SCFEngine:
             dm_conv_tol=self.dm_conv_tol if dm_conv_tol is None else dm_conv_tol,
             max_cycle=self.max_cycle if max_cycle is None else max_cycle,
             level_shift=level_shift,
+            rohf=self.rohf,
         )
         return self._package(res, nelec, v_emb, dm_env_occ)
 

@@ -130,6 +130,7 @@ def run_scf(
     diis_space: int = 8,
     use_diis: bool = True,
     level_shift: float = 0.0,  # virtual-orbital level shift (Ha)
+    rohf: bool = False,  # restricted-open-shell: shared spatial orbitals
 ) -> SCFResult:
     """Run SCF to convergence and return an :class:`SCFResult`.
 
@@ -137,6 +138,13 @@ def run_scf(
     + Huz(F)``. Energies follow the reference's embedded conventions
     (huzinaga_scf.py:14-62): the Huzinaga term enters the one-body energy
     in full; ``v_emb`` is treated as part of the core Hamiltonian.
+
+    ``rohf=True`` runs restricted-open-shell SCF (ROHF, or ROKS with an
+    ``xc_fn``): both spins share spatial orbitals, enforced by replacing
+    the per-spin Fock pair with Roothaan's single effective Fock before
+    DIIS/diagonalisation. Energies still use the true per-spin Fock
+    expression, and the returned :attr:`SCFResult.fock` is the per-spin
+    pair.
 
     Incremental mixed precision (``jk_fn_fast``): since J/K are linear in
     the density, each cycle contracts only the density *change* against the
@@ -220,6 +228,23 @@ def run_scf(
         mo_e, c_ortho = eigh_refined(f_ortho)
         return mo_e, jnp.einsum("pi,sij->spj", x, c_ortho)
 
+    def roothaan_effective(f, dm):
+        """Roothaan's single effective Fock for ROHF/ROKS, stacked onto the
+        spin axis so the rest of the loop (DIIS, eigh, occupations) is
+        unchanged — both spins then diagonalise the same matrix and share
+        spatial orbitals.  Projector form (closed = beta-occupied space,
+        open = alpha-minus-beta, virtual = alpha-unoccupied):
+        diagonal blocks couple through (Fa+Fb)/2, closed-open through Fb,
+        open-virtual through Fa, closed-virtual through (Fa+Fb)/2."""
+        fc = 0.5 * (f[0] + f[1])
+        pc = dm[1] @ s
+        po = (dm[0] - dm[1]) @ s
+        pv = jnp.eye(n, dtype=f.dtype) - dm[0] @ s
+        feff = (0.5 * (pc.T @ fc @ pc + po.T @ fc @ po + pv.T @ fc @ pv)
+                + po.T @ f[1] @ pc + po.T @ f[0] @ pv + pv.T @ fc @ pc)
+        feff = feff + feff.T
+        return jnp.stack([feff, feff])
+
     # initial guess: core Hamiltonian (+projectors), as in the reference
     # Huzinaga loop (huzinaga_scf.py:139-148).
     if dm0 is None:
@@ -298,6 +323,11 @@ def run_scf(
                 f, huz, e_cur = assemble_fock(dm, j, k, xc_eval=xc_eval)
             else:
                 f, huz, e_cur = fock_and_energy(dm, xc_eval=xc_eval)
+            if rohf:
+                # the per-spin error X^T(F_eff D_s S - S D_s F_eff)X below
+                # covers every coupling block: D_beta tests closed-open and
+                # closed-virtual, D_alpha tests open-virtual
+                f = roothaan_effective(f, dm)
             # DIIS error: X^T (FDS - SDF) X per spin
             fds = jnp.einsum("sij,sjk,kl->sil", f, dm, s)
             err = jnp.einsum(
