@@ -436,6 +436,13 @@ FUNCTIONALS = {
     "tpss": ([(1.0, tpss_x), (1.0, tpss_c)], 0.0),
     "tpssh": ([(0.90, tpss_x), (1.0, tpss_c)], 0.10),
     "pw92": ([(1.0, slater_x), (1.0, pw92_c)], 0.0),
+    # Double hybrids (Grimme-style): the SCF part below is an ordinary
+    # global hybrid; the missing PT2 correlation (coefficient in DH_PT2)
+    # is added on the converged KS orbitals/eigenvalues by
+    # solvers.run_double_hybrid.  B2PLYP: JCP 124, 034108 (2006);
+    # B2GP-PLYP: JPCA 112, 12868 (2008).
+    "b2plyp": ([(0.47, b88_x), (0.73, lyp_c)], 0.53),
+    "b2gpplyp": ([(0.35, b88_x), (0.64, lyp_c)], 0.65),
     # CAM-B3LYP (Yanai-Tew-Handy, CPL 393, 51 (2004)): exact exchange
     # 0.19 full-range + 0.46 long-range(omega=0.33); DFT exchange is the
     # complement 0.35 B88 + 0.46 SR-B88 (ITYH); correlation 0.19 VWN5 +
@@ -459,6 +466,17 @@ FUNCTIONALS = {
         (1.0, 0.33),
     ),
 }
+
+
+DH_PT2 = {"b2plyp": 0.27, "b2gpplyp": 0.36}
+
+
+def pt2_coefficient(name) -> float:
+    """PT2 weight of a double-hybrid functional, or 0.0 for everything
+    else (the SCF machinery alone is then the complete functional)."""
+    if name is None:
+        return 0.0
+    return DH_PT2.get(name.strip().lower().replace("-", ""), 0.0)
 
 
 def resolve_functional(name: str):

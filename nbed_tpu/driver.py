@@ -110,6 +110,16 @@ class NbedDriver:
 
     @cached_property
     def _ks_engine(self) -> SCFEngine:
+        from .dft.functionals import pt2_coefficient
+
+        if pt2_coefficient(self.config.xc_functional):
+            logger.warning(
+                "xc_functional=%s is a double hybrid: the embedding driver "
+                "uses only its SCF (hybrid-GGA) part for subsystem-DFT and "
+                "the embedding potential; the PT2 term is a post-SCF total-"
+                "energy correction (solvers.run_double_hybrid), not part of "
+                "v_emb.", self.config.xc_functional,
+            )
         return SCFEngine(
             self._mol, xc=self.config.xc_functional,
             conv_tol=self.config.convergence,
