@@ -40,7 +40,10 @@ import numpy as np
 
 from ..ham.qubit import (PauliSum, _bk_sets, _grouped_weights,
                          _ladder_factory, _mul, _popcount, bravyi_kitaev,
-                         jordan_wigner)
+                         jordan_wigner, parity_transform)
+
+_MAPPERS = {"jw": jordan_wigner, "bk": bravyi_kitaev,
+            "parity": parity_transform}
 
 __all__ = ["run_vqe", "run_adapt_vqe", "uccsd_excitations", "VQEResult",
            "AdaptVQEResult"]
@@ -127,6 +130,14 @@ def _encode_reference(occ_mask: int, mapping: str, n: int) -> int:
     """
     if mapping == "jw":
         return occ_mask
+    if mapping == "parity":
+        # qubit j stores the prefix parity of occupations 0..j
+        idx = 0
+        running = 0
+        for j in range(n):
+            running ^= (occ_mask >> j) & 1
+            idx |= running << j
+        return idx
     idx = 0
     for j in range(n):
         if occ_mask >> j & 1:
@@ -204,7 +215,7 @@ def run_vqe(constant, h1, h2, nelec, mapping: str = "jw",
             (reference ham_builder.py:218-254 contract: ``h2`` already
             carries its 1/2).
         nelec: ``(n_alpha, n_beta)`` electrons in the active space.
-        mapping: ``"jw"`` or ``"bk"``.
+        mapping: ``"jw"``, ``"bk"`` or ``"parity"``.
         maxiter: L-BFGS-B iteration cap.
         conv_tol: gradient-norm tolerance passed to the optimiser.
         init_params: optional starting amplitudes (defaults to the
@@ -218,12 +229,9 @@ def run_vqe(constant, h1, h2, nelec, mapping: str = "jw",
     """
     h1 = np.asarray(h1)
     n_so = h1.shape[0]
-    if mapping == "jw":
-        psum = jordan_wigner(constant, h1, h2)
-    elif mapping == "bk":
-        psum = bravyi_kitaev(constant, h1, h2)
-    else:
+    if mapping not in _MAPPERS:
         raise ValueError(f"unknown mapping '{mapping}'")
+    psum = _MAPPERS[mapping](constant, h1, h2)
     n_qubits = psum.n_qubits
     dim = 1 << n_qubits
     if n_qubits > 24:
@@ -340,12 +348,9 @@ def run_adapt_vqe(constant, h1, h2, nelec, mapping: str = "jw",
     """
     h1 = np.asarray(h1)
     n_so = h1.shape[0]
-    if mapping == "jw":
-        psum = jordan_wigner(constant, h1, h2)
-    elif mapping == "bk":
-        psum = bravyi_kitaev(constant, h1, h2)
-    else:
+    if mapping not in _MAPPERS:
         raise ValueError(f"unknown mapping '{mapping}'")
+    psum = _MAPPERS[mapping](constant, h1, h2)
     n_qubits = psum.n_qubits
     dim = 1 << n_qubits
     if n_qubits > 24:

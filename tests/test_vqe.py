@@ -48,6 +48,17 @@ def test_h2_bk_matches_jw(h2_hamiltonian):
     assert np.isclose(jw.e_reference, bk.e_reference, atol=1e-9)
 
 
+def test_h2_parity_matches_jw(h2_hamiltonian):
+    """Parity encoding: reference-determinant encoding (prefix parities)
+    and the full ansatz both reproduce the JW result."""
+    const, h1, h2 = h2_hamiltonian
+    jw = run_vqe(const, h1, h2, nelec=(1, 1), mapping="jw")
+    pa = run_vqe(const, h1, h2, nelec=(1, 1), mapping="parity")
+    assert pa.converged
+    assert np.isclose(jw.e_vqe, pa.e_vqe, atol=1e-7)
+    assert np.isclose(jw.e_reference, pa.e_reference, atol=1e-9)
+
+
 def test_reduced_water_vqe(water_rhf):
     """10 electrons / 12 spin-orbitals: UCCSD within truncation error of
     the sector FCI, never below it."""
