@@ -10,7 +10,7 @@ import logging
 import os
 from enum import Enum
 from pathlib import Path
-from typing import Annotated, Any
+from typing import Annotated, Any, Literal
 
 from pydantic import (
     BaseModel,
@@ -131,9 +131,12 @@ class NbedConfig(BaseModel):
     density_fitting: bool | None = None
     warmup_f32: bool = False
     # Z2-symmetry qubit tapering of the embedded Hamiltonian (ham/taper.py):
-    # records the JW Pauli sum, its symmetries, sector and the tapered sum
-    # under result["tapered"] — qubit counts below the raw JW register.
+    # records the Pauli sum, its symmetries, sector and the tapered sum
+    # under result["tapered"] — qubit counts below the raw register.
     taper_qubits: bool = False
+    # fermion-to-qubit encoding used by taper_qubits / run_vqe_emb
+    # (the "second_quantised" output itself is mapping-agnostic)
+    qubit_mapping: Literal["jw", "bk", "parity"] = "jw"
 
     max_ram_memory: PositiveInt = 4000
     max_hf_cycles: PositiveInt = Field(default=50)

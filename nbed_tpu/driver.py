@@ -551,10 +551,11 @@ class NbedDriver:
         result["second_quantised"] = hb.build()
 
         if cfg.taper_qubits:
-            from .ham.qubit import jordan_wigner
+            from .ham.qubit import MAPPINGS
             from .ham.taper import taper_auto
+            from .solvers.vqe import _encode_reference
 
-            psum = jordan_wigner(*result["second_quantised"])
+            psum = MAPPINGS[cfg.qubit_mapping](*result["second_quantised"])
             occ = np.asarray(result["scf"].mo_occ)
             if occ.ndim == 1:
                 occ = np.stack([occ, occ])
@@ -563,6 +564,10 @@ class NbedDriver:
                 hf_bits |= 1 << (2 * int(p))
             for p in np.nonzero(occ[1] > 0)[0]:
                 hf_bits |= 1 << (2 * int(p) + 1)
+            # the HF determinant's computational-basis index in the chosen
+            # encoding (JW = raw occupations; BK/parity = linear image)
+            hf_bits = _encode_reference(hf_bits, cfg.qubit_mapping,
+                                        psum.n_qubits)
             tapered, syms, sector = taper_auto(psum, hf_bits=hf_bits)
             result["tapered"] = {
                 "psum": tapered,
@@ -584,7 +589,8 @@ class NbedDriver:
             occ = np.asarray(result["scf"].mo_occ)
             nelec = (int(np.sum(occ[0] > 0)), int(np.sum(occ[1] > 0)))
             try:
-                vqe = run_vqe(*result["second_quantised"], nelec=nelec)
+                vqe = run_vqe(*result["second_quantised"], nelec=nelec,
+                              mapping=cfg.qubit_mapping)
                 result["vqe"] = vqe
                 result["e_vqe"] = vqe.e_vqe
                 logger.info("VQE Energy %s: %s", projector, vqe.e_vqe)

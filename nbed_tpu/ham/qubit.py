@@ -356,6 +356,11 @@ def parity_transform(constant, h1, h2, tol=1e-12) -> PauliSum:
     return _map_interaction_operator(constant, h1, h2, "parity", tol)
 
 
+#: name -> transform, for config-driven mapping selection
+MAPPINGS = {"jw": jordan_wigner, "bk": bravyi_kitaev,
+            "parity": parity_transform}
+
+
 def _term_arrays(psum: PauliSum):
     xs = np.array([k[0] for k in psum.terms], dtype=np.int64)
     zs = np.array([k[1] for k in psum.terms], dtype=np.int64)

@@ -38,12 +38,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..ham.qubit import (PauliSum, _bk_sets, _grouped_weights,
-                         _ladder_factory, _mul, _popcount, bravyi_kitaev,
-                         jordan_wigner, parity_transform)
-
-_MAPPERS = {"jw": jordan_wigner, "bk": bravyi_kitaev,
-            "parity": parity_transform}
+from ..ham.qubit import (MAPPINGS as _MAPPERS, PauliSum, _bk_sets,
+                         _grouped_weights, _ladder_factory, _mul, _popcount)
 
 __all__ = ["run_vqe", "run_adapt_vqe", "uccsd_excitations", "VQEResult",
            "AdaptVQEResult"]

@@ -165,3 +165,28 @@ def test_driver_taper_flag(water_xyz):
     e_raw = float(pauli_ground_state(
         jordan_wigner(*driver.mu["second_quantised"]))[0])
     assert np.isclose(e0, e_raw, atol=1e-8)
+
+
+def test_driver_taper_parity_mapping(water_xyz):
+    """qubit_mapping='parity': the tapered block is built from the parity
+    encoding (whose single-qubit Z_{n-1} number-parity symmetry is one of
+    the removed generators) and preserves the ground energy."""
+    from nbed_tpu import nbed
+
+    driver = nbed(
+        geometry=water_xyz,
+        n_active_atoms=1,
+        basis="STO-3G",
+        xc_functional="b3lyp",
+        projector="mu",
+        localization="spade",
+        convergence=1e-8,
+        taper_qubits=True,
+        qubit_mapping="parity",
+    )
+    blk = driver.mu["tapered"]
+    assert blk["n_qubits"] < blk["n_qubits_raw"]
+    e0 = float(pauli_ground_state(blk["psum"])[0])
+    e_raw = float(pauli_ground_state(
+        jordan_wigner(*driver.mu["second_quantised"]))[0])
+    assert np.isclose(e0, e_raw, atol=1e-8)
