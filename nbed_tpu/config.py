@@ -106,6 +106,10 @@ class NbedConfig(BaseModel):
     # external SDK for this): solve the embedded Hamiltonian with the
     # built-in UCCSD VQE (solvers/vqe.py) and record e_vqe in the result
     run_vqe_emb: bool = False
+    # extension beyond the reference: CIS/TDA excited states of the
+    # embedded active region (solvers/cis.py) — the number of excitation
+    # roots to record under result["cis"] (0 = off)
+    run_cis_emb: NonNegativeInt = 0
 
     mm_coords: list | None = None
     mm_charges: list | None = None

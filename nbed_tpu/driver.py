@@ -44,7 +44,8 @@ from .solvers import run_ccsd, run_fci
 
 logger = logging.getLogger(__name__)
 
-__all__ = ["NbedDriver", "run_emb_fci", "run_emb_ccsd", "dft_in_dft"]
+__all__ = ["NbedDriver", "run_emb_fci", "run_emb_ccsd", "run_emb_cis",
+           "dft_in_dft"]
 
 
 class NbedDriver:
@@ -583,6 +584,19 @@ class NbedDriver:
                 projector, psum.n_qubits, tapered.n_qubits, len(syms),
             )
 
+        if cfg.run_cis_emb:
+            from .solvers.cis import oscillator_strengths
+
+            cis = run_emb_cis(result["scf"], nroots=cfg.run_cis_emb)
+            f_osc, mu_tr = oscillator_strengths(result["scf"], cis)
+            result["cis"] = cis
+            result["cis_oscillator_strengths"] = f_osc
+            result["e_cis"] = result["e_rhf"] + cis.excitations
+            logger.info(
+                "CIS excitations %s (Ha): %s", projector,
+                np.array2string(cis.excitations, precision=6),
+            )
+
         if cfg.run_vqe_emb:
             from .solvers import run_vqe
 
@@ -743,6 +757,29 @@ def run_emb_fci(scf_sol: SCFSolution, frozen=None, convergence: float = 1e-6):
     e_tot = float(vals[0]) + e_shift + scf_sol.energy_nuc()
     logger.info("FCI embedding energy: %s", e_tot)
     return e_tot
+
+
+def run_emb_cis(scf_sol: SCFSolution, nroots=None, frozen=None):
+    """Embedded CIS/TDA excitation energies (beyond the reference, which
+    stops at ground-state CCSD/FCI, driver.py:1044-1135): excited states
+    of the active region in the environment's embedding potential.
+
+    Returns a :class:`nbed_tpu.solvers.cis.CISResult`; excitation energies
+    are relative to the embedded SCF reference, so absolute whole-system
+    excited-state energies are ``result["e_rhf"] + cis.excitations``.
+    """
+    from .solvers.cis import run_cis
+
+    hb = HamiltonianBuilder(scf_sol, 0.0)
+    _, h1, h2 = hb.build()
+    occ_mask = NbedDriver._interleaved_occ(scf_sol)
+    if frozen:
+        from .solvers.frozen import freeze_spinorbitals
+
+        _, h1, h2, occ_mask = freeze_spinorbitals(
+            0.0, h1, h2, _spin_expand_frozen(frozen), occ_mask
+        )
+    return run_cis(h1, h2, occ_mask, nroots=nroots)
 
 
 def dft_in_dft(driver: NbedDriver, projection_method) -> dict:

@@ -1,0 +1,133 @@
+"""CIS / Tamm-Dancoff excited states on spin-orbital integrals.
+
+Beyond the reference (UCL-CCS/Nbed stops at ground-state CCSD/FCI,
+reference driver.py:1044-1135): configuration-interaction-singles
+excitation energies for any SCF solution the framework produces —
+global or *embedded* (WF-in-DFT excited states of the active region in
+the environment's embedding potential), restricted or unrestricted,
+with frozen spin orbitals folded in exactly.
+
+Formulation (spin orbitals, M_s-conserving singles):
+
+    A[(i,a),(j,b)] = f_ab d_ij - f_ij d_ab + <aj||ib>
+
+with f the (embedded) Fock matrix implied by the integrals.  Eigenvalues
+of A are excitation energies; this is exactly the Hamiltonian projected
+onto the singly-excited determinant space, shifted by the reference
+energy — the property the test suite verifies against
+:func:`nbed_tpu.solvers.fci.sector_hamiltonian` with no external oracle.
+
+The CIS matrix is tiny next to the integral/SCF hot path (npairs =
+n_occ x n_virt, a few hundred for embedded actives), so assembly and the
+symmetric eigensolve run on the host in f64; the expensive inputs (MO
+integrals) come from the device-side builder pipeline.
+"""
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .ccsd import _antisymmetrized
+
+__all__ = ["run_cis", "CISResult", "oscillator_strengths"]
+
+
+@dataclass
+class CISResult:
+    """Excitation energies (Ha, ascending) + singles amplitudes.
+
+    ``pairs[p] = (i, a)`` gives the occupied/virtual *spin-orbital*
+    indices (builder interleave: even = alpha, odd = beta) of amplitude
+    column p; ``amplitudes[r]`` is the normalised eigenvector of root r.
+    """
+
+    excitations: np.ndarray  # (nroots,)
+    amplitudes: np.ndarray  # (nroots, npairs)
+    pairs: np.ndarray  # (npairs, 2)
+    e_ref_elec: float
+
+    def dominant(self, root: int, k: int = 3):
+        """Top-k (i, a, amplitude) contributions of a root."""
+        x = self.amplitudes[root]
+        idx = np.argsort(-np.abs(x))[:k]
+        return [(int(self.pairs[p, 0]), int(self.pairs[p, 1]), float(x[p]))
+                for p in idx]
+
+
+def run_cis(so_h1, so_h2, occ_mask, nroots: int | None = None) -> CISResult:
+    """CIS/TDA excitation spectrum from spin-orbital integrals.
+
+    Args:
+        so_h1: (M, M) one-body spin-orbital integrals (incl. any embedding
+            potential — the builder output already folds v_emb in).
+        so_h2: (M, M, M, M) a+a+aa coefficient tensor (builder's 0.5*h2).
+        occ_mask: boolean (M,) — True for occupied spin orbitals.
+        nroots: number of lowest excitations to return (default: all).
+
+    Returns:
+        :class:`CISResult` with ``len(excitations) == nroots``.
+    """
+    occ_mask = np.asarray(occ_mask, dtype=bool)
+    h1 = np.asarray(so_h1, dtype=np.float64)
+    w = _antisymmetrized(np.asarray(so_h2, dtype=np.float64))  # <pq||rs>
+    m = h1.shape[0]
+    occ = np.where(occ_mask)[0]
+    vir = np.where(~occ_mask)[0]
+
+    # Fock implied by the integrals: f_pq = h_pq + sum_i <pi||qi>
+    all_p = np.arange(m)
+    fock = h1 + np.einsum("piqi->pq", w[np.ix_(all_p, occ, all_p, occ)])
+    e_ref_elec = float(
+        np.einsum("ii->", h1[np.ix_(occ, occ)])
+        + 0.5 * np.einsum("ijij->", w[np.ix_(occ, occ, occ, occ)])
+    )
+
+    # M_s-conserving singles: same spin parity (interleave: even=a, odd=b)
+    i_idx, a_idx = np.meshgrid(occ, vir, indexing="ij")
+    keep = (i_idx % 2) == (a_idx % 2)
+    i_idx, a_idx = i_idx[keep], a_idx[keep]
+    pairs = np.stack([i_idx, a_idx], axis=1)
+    if len(pairs) == 0:
+        raise ValueError("No M_s-conserving single excitations exist.")
+
+    # A[(ia),(jb)] = f[a,b] d_ij - f[i,j] d_ab + <a j || i b>
+    a_mat = w[a_idx[:, None], i_idx[None, :], i_idx[:, None], a_idx[None, :]]
+    a_mat = a_mat + np.where(i_idx[:, None] == i_idx[None, :],
+                             fock[a_idx[:, None], a_idx[None, :]], 0.0)
+    a_mat = a_mat - np.where(a_idx[:, None] == a_idx[None, :],
+                             fock[i_idx[:, None], i_idx[None, :]], 0.0)
+
+    omega, x = np.linalg.eigh(a_mat)
+    if nroots is not None:
+        omega, x = omega[:nroots], x[:, :nroots]
+    return CISResult(
+        excitations=omega,
+        amplitudes=np.ascontiguousarray(x.T),
+        pairs=pairs,
+        e_ref_elec=e_ref_elec,
+    )
+
+
+def oscillator_strengths(scf_sol, result: CISResult):
+    """Length-gauge oscillator strengths f = (2/3) w |<0|r|I>|^2.
+
+    ``scf_sol``'s MOs must map 1:1 onto the spin orbitals of ``result``
+    (i.e. no frozen-orbital reduction between the SCF and the CIS run).
+
+    Returns (f, mu): (nroots,) strengths and (nroots, 3) transition
+    dipoles (a.u.).
+    """
+    from ..integrals.core import dipole_integrals
+
+    dip = np.asarray(dipole_integrals(scf_sol.mol))  # (3, nao, nao)
+    c = np.asarray(scf_sol.mo_coeff)
+    if c.ndim == 2:
+        c = np.stack([c, c])
+    dip_mo = np.einsum("xuv,sui,svj->sxij", dip, c, c)  # per-spin MO dipoles
+
+    i_idx, a_idx = result.pairs[:, 0], result.pairs[:, 1]
+    spin = i_idx % 2  # == a_idx % 2 by construction
+    pair_dip = dip_mo[spin, :, i_idx // 2, a_idx // 2]  # (npairs, 3)
+    mu = result.amplitudes @ pair_dip  # (nroots, 3)
+    f = (2.0 / 3.0) * result.excitations * np.sum(mu**2, axis=1)
+    return f, mu
