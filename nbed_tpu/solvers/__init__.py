@@ -14,11 +14,13 @@ from .fci import run_fci, sector_hamiltonian
 from .hessian import (dipole_derivative_fd, harmonic_frequencies,
                       hessian_fd, ir_intensities)
 from .thermo import thermochemistry
-from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations
+from .qse import run_qse, QSEResult
+from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations, vqe_statevector
 
 __all__ = ["run_fci", "run_ccsd", "run_cis", "oscillator_strengths",
            "CISResult", "run_mp2", "run_pt2",
            "run_double_hybrid", "sector_hamiltonian",
            "harmonic_frequencies", "hessian_fd", "ir_intensities",
            "dipole_derivative_fd", "thermochemistry", "run_vqe",
-           "run_adapt_vqe", "uccsd_excitations"]
+           "run_adapt_vqe", "uccsd_excitations", "vqe_statevector",
+           "run_qse", "QSEResult"]

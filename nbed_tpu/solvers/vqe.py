@@ -42,7 +42,7 @@ from ..ham.qubit import (MAPPINGS as _MAPPERS, PauliSum, _bk_sets,
                          _grouped_weights, _ladder_factory, _mul, _popcount)
 
 __all__ = ["run_vqe", "run_adapt_vqe", "uccsd_excitations", "VQEResult",
-           "AdaptVQEResult"]
+           "AdaptVQEResult", "vqe_statevector"]
 
 
 # --------------------------------------------------------------- excitations
@@ -176,6 +176,60 @@ def _expectation_program(ux, weights, dim):
     return energy
 
 
+def _ansatz_setup(constant, h1, h2, nelec, mapping, excitations=None):
+    """Shared VQE plumbing: mapped Hamiltonian, reference state and the
+    stacked disentangled-UCCSD rotation arrays."""
+    h1 = np.asarray(h1)
+    n_so = h1.shape[0]
+    if mapping not in _MAPPERS:
+        raise ValueError(f"unknown mapping '{mapping}'")
+    psum = _MAPPERS[mapping](constant, h1, h2)
+    n_qubits = psum.n_qubits
+    dim = 1 << n_qubits
+    if n_qubits > 24:
+        raise ValueError(
+            f"statevector VQE capped at 24 qubits (got {n_qubits}); "
+            "reduce the active space (concentric localization / "
+            "reduce_virtuals) first")
+
+    ladder = _ladder_factory(mapping, n_so)
+    occ_mask, default_exc = uccsd_excitations(n_so, nelec)
+    excitations = default_exc if excitations is None else excitations
+
+    xs, zs, coeffs, pidx = [], [], [], []
+    for p, exc in enumerate(excitations):
+        for c, x, z in _generator_strings(exc, ladder):
+            xs.append(x)
+            zs.append(z)
+            coeffs.append(c)
+            pidx.append(p)
+
+    apply = _ansatz_program(n_qubits, dim)
+    hf_index = _encode_reference(occ_mask, mapping, n_so)
+    psi0 = jnp.zeros(dim, dtype=jnp.float64).at[hf_index].set(1.0)
+    arrays = (jnp.asarray(xs, dtype=jnp.int32),
+              jnp.asarray(zs, dtype=jnp.int32),
+              jnp.asarray(coeffs, dtype=jnp.float64),
+              jnp.asarray(pidx, dtype=jnp.int32))
+    return psum, n_qubits, dim, psi0, apply, arrays, len(excitations), len(xs)
+
+
+def vqe_statevector(constant, h1, h2, nelec, mapping: str = "jw",
+                    params=None, excitations=None) -> np.ndarray:
+    """Reconstruct the (real f64) ansatz statevector for given amplitudes.
+
+    ``params=None`` (or all-zero) returns the mapped reference
+    determinant. Feed :class:`VQEResult.params` back in to materialise
+    the converged VQE state (e.g. for quantum subspace expansion).
+    """
+    (_, _, _, psi0, apply, arrays, _, n_strings) = _ansatz_setup(
+        constant, h1, h2, nelec, mapping, excitations)
+    if params is None or n_strings == 0:
+        return np.asarray(psi0)
+    thetas = jnp.asarray(np.asarray(params, dtype=np.float64))
+    return np.asarray(apply(thetas, psi0, *arrays))
+
+
 # ---------------------------------------------------------------------- VQE
 
 
@@ -223,44 +277,13 @@ def run_vqe(constant, h1, h2, nelec, mapping: str = "jw",
         :class:`VQEResult`; ``e_vqe`` is variational (an upper bound on
         the ground-state energy of the mapped Hamiltonian).
     """
-    h1 = np.asarray(h1)
-    n_so = h1.shape[0]
-    if mapping not in _MAPPERS:
-        raise ValueError(f"unknown mapping '{mapping}'")
-    psum = _MAPPERS[mapping](constant, h1, h2)
-    n_qubits = psum.n_qubits
-    dim = 1 << n_qubits
-    if n_qubits > 24:
-        raise ValueError(
-            f"statevector VQE capped at 24 qubits (got {n_qubits}); "
-            "reduce the active space (concentric localization / "
-            "reduce_virtuals) first")
-
-    ladder = _ladder_factory(mapping, n_so)
-    occ_mask, default_exc = uccsd_excitations(n_so, nelec)
-    excitations = default_exc if excitations is None else excitations
-
-    xs, zs, coeffs, pidx = [], [], [], []
-    for p, exc in enumerate(excitations):
-        for c, x, z in _generator_strings(exc, ladder):
-            xs.append(x)
-            zs.append(z)
-            coeffs.append(c)
-            pidx.append(p)
-    n_params = len(excitations)
-    n_strings = len(xs)
+    (psum, n_qubits, dim, psi0, apply,
+     (xs_a, zs_a, cs_a, pi_a), n_params, n_strings) = _ansatz_setup(
+        constant, h1, h2, nelec, mapping, excitations)
 
     ux, weights, _ = _grouped_weights(psum)
     assert np.abs(weights.imag).max() < 1e-9, "complex Hamiltonian weights"
     energy_of = _expectation_program(ux, weights.real, dim)
-    apply = _ansatz_program(n_qubits, dim)
-
-    hf_index = _encode_reference(occ_mask, mapping, n_so)
-    psi0 = jnp.zeros(dim, dtype=jnp.float64).at[hf_index].set(1.0)
-    xs_a = jnp.asarray(xs, dtype=jnp.int32)
-    zs_a = jnp.asarray(zs, dtype=jnp.int32)
-    cs_a = jnp.asarray(coeffs, dtype=jnp.float64)
-    pi_a = jnp.asarray(pidx, dtype=jnp.int32)
 
     @jax.jit
     def objective(thetas):
