@@ -318,6 +318,56 @@ def bench_jw(details):
     return len(psum.terms), len(psum.terms) / dt
 
 
+def bench_batch(details):
+    """Conformer-fleet throughput: vmapped HF over a geometry batch (one
+    compiled program, the data-parallel scale lever — BASELINE config #5).
+    Times the warm B=16 and B=1 programs; the interesting numbers are
+    conformers/sec and the per-conformer speedup the batching buys."""
+    import jax.numpy as jnp
+
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.parallel import batched_hf_energies
+
+    mol = build_molecule(WATER, "sto-3g")
+    base = np.asarray(mol.coords)  # bohr
+    bsz = 16
+    rng = np.random.default_rng(11)
+    batch = base[None] + 0.02 * rng.standard_normal((bsz, *base.shape))
+    batch[0] = base
+
+    def run(coords):
+        e, conv = batched_hf_energies(mol, jnp.asarray(coords),
+                                      conv_tol=1e-8, max_cycle=60)
+        return np.asarray(e), np.asarray(conv)
+
+    _log(f"batch: compiling vmapped HF (B={bsz})")
+    e, conv = run(batch)  # compile + warm readback
+    assert bool(conv.all()), "batched SCF lanes did not all converge"
+    # oracle anchor: lane 0 is the unperturbed geometry
+    assert abs(e[0] - (-74.96099960129165)) < 1e-6, e[0]
+    t0 = time.perf_counter()
+    run(batch)
+    t_batch = time.perf_counter() - t0
+
+    single = batch[:1]
+    run(single)  # compile B=1
+    t0 = time.perf_counter()
+    run(single)
+    t_single = time.perf_counter() - t0
+
+    details["batch_size"] = bsz
+    details["batch_wall_s"] = round(t_batch, 4)
+    details["single_wall_s"] = round(t_single, 4)
+    details["batch_lane_efficiency"] = round(t_single * bsz / t_batch, 2)
+    return bsz / t_batch
+
+
+def _stage_batch(out, details):
+    _alarm(1500)
+    cps = bench_batch(details)
+    out["conformers_per_s"] = round(cps, 2)
+
+
 def _stage_fock(out, details):
     # generous in-stage guard: the remote tunnel's first post-compile
     # readback can stall ~8 min cold (cached afterwards)
@@ -372,6 +422,7 @@ _STAGES = {
     "pipeline": (_stage_pipeline, 2400),
     "ccsd": (_stage_ccsd, 1400),
     "jw": (_stage_jw, 700),
+    "batch": (_stage_batch, 1700),
 }
 
 _MARK = "##BENCH_STAGE_RESULT## "
@@ -438,7 +489,7 @@ def main():
         out["backend"] = probe["out"].get("backend", "unknown")
         details["device"] = probe["out"].get("device")
 
-    stages = ["fock", "pipeline", "ccsd", "jw"]
+    stages = ["fock", "pipeline", "ccsd", "jw", "batch"]
     if os.environ.get("NBED_BENCH_SKIP_PIPELINE"):
         stages.remove("pipeline")
     for stage in stages:
