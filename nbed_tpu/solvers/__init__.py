@@ -15,6 +15,7 @@ from .hessian import (dipole_derivative_fd, harmonic_frequencies,
                       hessian_fd, ir_intensities)
 from .thermo import thermochemistry
 from .qse import run_qse, QSEResult
+from .stability import run_stability, rotate_towards, stable_scf, StabilityResult
 from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations, vqe_statevector
 
 __all__ = ["run_fci", "run_ccsd", "run_cis", "oscillator_strengths",
@@ -23,4 +24,5 @@ __all__ = ["run_fci", "run_ccsd", "run_cis", "oscillator_strengths",
            "harmonic_frequencies", "hessian_fd", "ir_intensities",
            "dipole_derivative_fd", "thermochemistry", "run_vqe",
            "run_adapt_vqe", "uccsd_excitations", "vqe_statevector",
-           "run_qse", "QSEResult"]
+           "run_qse", "QSEResult", "run_stability", "rotate_towards",
+           "stable_scf", "StabilityResult"]

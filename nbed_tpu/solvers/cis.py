@@ -54,18 +54,13 @@ class CISResult:
                 for p in idx]
 
 
-def run_cis(so_h1, so_h2, occ_mask, nroots: int | None = None) -> CISResult:
-    """CIS/TDA excitation spectrum from spin-orbital integrals.
+def _singles_frame(so_h1, so_h2, occ_mask):
+    """Shared CIS/stability assembly.
 
-    Args:
-        so_h1: (M, M) one-body spin-orbital integrals (incl. any embedding
-            potential — the builder output already folds v_emb in).
-        so_h2: (M, M, M, M) a+a+aa coefficient tensor (builder's 0.5*h2).
-        occ_mask: boolean (M,) — True for occupied spin orbitals.
-        nroots: number of lowest excitations to return (default: all).
-
-    Returns:
-        :class:`CISResult` with ``len(excitations) == nroots``.
+    Returns ``(w, fock, e_ref_elec, i_idx, a_idx)``: the antisymmetrised
+    MO integrals ``<pq||rs>``, the Fock matrix they imply, the reference
+    electronic energy, and the M_s-conserving (occupied, virtual)
+    spin-orbital index arrays (interleave: even = alpha, odd = beta).
     """
     occ_mask = np.asarray(occ_mask, dtype=bool)
     h1 = np.asarray(so_h1, dtype=np.float64)
@@ -82,20 +77,40 @@ def run_cis(so_h1, so_h2, occ_mask, nroots: int | None = None) -> CISResult:
         + 0.5 * np.einsum("ijij->", w[np.ix_(occ, occ, occ, occ)])
     )
 
-    # M_s-conserving singles: same spin parity (interleave: even=a, odd=b)
     i_idx, a_idx = np.meshgrid(occ, vir, indexing="ij")
     keep = (i_idx % 2) == (a_idx % 2)
     i_idx, a_idx = i_idx[keep], a_idx[keep]
-    pairs = np.stack([i_idx, a_idx], axis=1)
-    if len(pairs) == 0:
+    if len(i_idx) == 0:
         raise ValueError("No M_s-conserving single excitations exist.")
+    return w, fock, e_ref_elec, i_idx, a_idx
 
-    # A[(ia),(jb)] = f[a,b] d_ij - f[i,j] d_ab + <a j || i b>
+
+def _a_matrix(w, fock, i_idx, a_idx):
+    """A[(ia),(jb)] = f[a,b] d_ij - f[i,j] d_ab + <a j || i b>."""
     a_mat = w[a_idx[:, None], i_idx[None, :], i_idx[:, None], a_idx[None, :]]
     a_mat = a_mat + np.where(i_idx[:, None] == i_idx[None, :],
                              fock[a_idx[:, None], a_idx[None, :]], 0.0)
     a_mat = a_mat - np.where(a_idx[:, None] == a_idx[None, :],
                              fock[i_idx[:, None], i_idx[None, :]], 0.0)
+    return a_mat
+
+
+def run_cis(so_h1, so_h2, occ_mask, nroots: int | None = None) -> CISResult:
+    """CIS/TDA excitation spectrum from spin-orbital integrals.
+
+    Args:
+        so_h1: (M, M) one-body spin-orbital integrals (incl. any embedding
+            potential — the builder output already folds v_emb in).
+        so_h2: (M, M, M, M) a+a+aa coefficient tensor (builder's 0.5*h2).
+        occ_mask: boolean (M,) — True for occupied spin orbitals.
+        nroots: number of lowest excitations to return (default: all).
+
+    Returns:
+        :class:`CISResult` with ``len(excitations) == nroots``.
+    """
+    w, fock, e_ref_elec, i_idx, a_idx = _singles_frame(so_h1, so_h2, occ_mask)
+    pairs = np.stack([i_idx, a_idx], axis=1)
+    a_mat = _a_matrix(w, fock, i_idx, a_idx)
 
     omega, x = np.linalg.eigh(a_mat)
     if nroots is not None:

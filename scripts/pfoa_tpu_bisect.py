@@ -1,0 +1,60 @@
+"""Bisect the pfoa-scale TPU worker crash: which stage kills the worker?
+
+Runs each candidate stage in ITS OWN SUBPROCESS (a worker crash poisons
+the client process), smallest first:
+
+  hf    — UHF, density-fitted, no XC (DF J/K + eigh + DIIS only)
+  ks    — UKS/B3LYP, density-fitted (adds grid build + XC)
+
+Usage:  timeout 4000 python scripts/pfoa_tpu_bisect.py [stage ...]
+Default: both stages in order.
+"""
+
+import json
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+ROOT = Path(__file__).resolve().parent.parent
+XYZ = ROOT / "tests" / "molecules" / "pfoa.xyz"
+
+
+def _stage(name):
+    sys.path.insert(0, str(ROOT))
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule(XYZ.read_text(), "sto-3g")
+    print(f"[{name}] nao={mol.nao}", file=sys.stderr, flush=True)
+    kwargs = dict(density_fitting=True, conv_tol=1e-6, max_cycle=50)
+    if name == "ks":
+        kwargs["xc"] = "b3lyp"
+    t0 = time.perf_counter()
+    eng = SCFEngine(mol, **kwargs)
+    sol = eng.kernel()
+    wall = time.perf_counter() - t0
+    print(json.dumps({"stage": name, "e_tot": float(sol.e_tot),
+                      "converged": bool(sol.converged),
+                      "wall_s": round(wall, 1)}), flush=True)
+
+
+def main():
+    stages = sys.argv[1:] or ["hf", "ks"]
+    for name in stages:
+        cmd = [sys.executable, str(Path(__file__).resolve()), "--run", name]
+        try:
+            proc = subprocess.run(cmd, timeout=2700, text=True,
+                                  stdout=subprocess.PIPE)
+            print(f"=== {name}: rc={proc.returncode}")
+            for line in proc.stdout.splitlines()[-3:]:
+                print(line)
+        except subprocess.TimeoutExpired:
+            print(f"=== {name}: TIMEOUT")
+
+
+if __name__ == "__main__":
+    if len(sys.argv) >= 3 and sys.argv[1] == "--run":
+        _stage(sys.argv[2])
+    else:
+        main()
