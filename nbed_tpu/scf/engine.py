@@ -83,11 +83,18 @@ def df_b_factor(mol, coords, beta: float = 1.8, omega: float = 0.0) -> np.ndarra
 
 
 def _df_k_spin(b, d):
-    """DF exchange K[i,j] = B_ikP d_kl B_jlP via the signed
-    eigen-decomposition of ``d`` (symmetric, not necessarily PSD)."""
-    w, u = jnp.linalg.eigh(d)
-    t = jnp.einsum("ikP,ko->ioP", b, u)
-    return jnp.einsum("ioP,joP,o->ij", t, t, w)
+    """DF exchange K[i,j] = B_ikP d_kl B_jlP as two plain GEMM chains.
+
+    Valid for any symmetric ``d`` (incl. the non-PSD delta densities of
+    the incremental path).  Deliberately NOT the textbook eigen-/
+    Cholesky-decomposed-density route: with the full-rank densities this
+    engine feeds it, that route costs the same naux*nao^3 contractions
+    PLUS an eigh *inside the jitted SCF loop* — and on TPU an in-loop
+    eigh is both slow and the platform's known numerical weak spot
+    (f32-grade eigenvectors; large-n f32 eigh can NaN)."""
+    t = jnp.einsum("ikP,kl->ilP", b, d)
+    k = jnp.einsum("ilP,jlP->ij", t, b)
+    return 0.5 * (k + k.T)
 
 
 # Shared jitted programs across SCFEngine instances.  Keyed by the

@@ -20,6 +20,22 @@ ROOT = Path(__file__).resolve().parent.parent
 XYZ = ROOT / "tests" / "molecules" / "pfoa.xyz"
 
 
+STAGES = {
+    # DF-UHF with the default TPU fast paths (reproduces the NaN)
+    "hf": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50),
+    # pure-f64 loop: isolates the incremental-f32 J/K path
+    "hf_f64": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
+                   incremental_jk="off"),
+    # short runs: where does the NaN first appear?
+    "hf_c1": dict(density_fitting=True, max_cycle=1, incremental_jk="off"),
+    "hf_c3": dict(density_fitting=True, max_cycle=3, incremental_jk="off"),
+    "hf_c1_inc": dict(density_fitting=True, max_cycle=1),
+    # KS adds grid + XC (crashed the worker on earlier full-pipeline runs)
+    "ks": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
+               xc="b3lyp"),
+}
+
+
 def _stage(name):
     sys.path.insert(0, str(ROOT))
     from nbed_tpu.chem import build_molecule
@@ -27,11 +43,8 @@ def _stage(name):
 
     mol = build_molecule(XYZ.read_text(), "sto-3g")
     print(f"[{name}] nao={mol.nao}", file=sys.stderr, flush=True)
-    kwargs = dict(density_fitting=True, conv_tol=1e-6, max_cycle=50)
-    if name == "ks":
-        kwargs["xc"] = "b3lyp"
     t0 = time.perf_counter()
-    eng = SCFEngine(mol, **kwargs)
+    eng = SCFEngine(mol, **STAGES[name])
     sol = eng.kernel()
     wall = time.perf_counter() - t0
     print(json.dumps({"stage": name, "e_tot": float(sol.e_tot),
