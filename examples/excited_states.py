@@ -25,7 +25,8 @@ jax.config.update("jax_platforms", "cpu")
 from nbed_tpu import nbed  # noqa: E402
 from nbed_tpu.driver import run_emb_cis  # noqa: E402
 from nbed_tpu.solvers import run_qse  # noqa: E402
-from nbed_tpu.solvers.cis import oscillator_strengths  # noqa: E402
+from nbed_tpu.solvers.cis import (  # noqa: E402
+    oscillator_strengths, spin_labels)
 
 N_ROOTS = 5
 
@@ -45,6 +46,7 @@ def main():
 
     cis = run_emb_cis(res["scf"], nroots=N_ROOTS)
     f_osc, _ = oscillator_strengths(res["scf"], cis)
+    labels = spin_labels(res["scf"], cis)
 
     occ = np.asarray(res["scf"].mo_occ)
     nelec = (int((occ[0] > 0).sum()), int((occ[1] > 0).sum()))
@@ -54,10 +56,11 @@ def main():
     ha_to_ev = 27.211386245988
     print(f"embedded VQE ground state: {res['e_vqe']:.8f} Ha "
           f"(QSE root 0: {qse.energies[0]:.8f})\n")
-    print(f"{'root':>4} {'CIS (eV)':>10} {'f_osc':>9} {'QSE (eV)':>10}")
+    print(f"{'root':>4} {'CIS (eV)':>10} {'f_osc':>9} {'spin':>8} "
+          f"{'QSE (eV)':>10}")
     for r in range(N_ROOTS):
         print(f"{r + 1:>4} {cis.excitations[r] * ha_to_ev:>10.4f} "
-              f"{f_osc[r]:>9.5f} "
+              f"{f_osc[r]:>9.5f} {labels[r][0]:>8} "
               f"{qse.excitations[r + 1] * ha_to_ev:>10.4f}")
 
 

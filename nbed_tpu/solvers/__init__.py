@@ -8,7 +8,7 @@ spin-orbital einsum implementation jitted end-to-end.
 """
 
 from .ccsd import run_ccsd
-from .cis import run_cis, oscillator_strengths, CISResult
+from .cis import run_cis, oscillator_strengths, spin_labels, CISResult
 from .mp2 import run_double_hybrid, run_mp2, run_pt2
 from .fci import run_fci, sector_hamiltonian
 from .hessian import (dipole_derivative_fd, harmonic_frequencies,
@@ -19,6 +19,7 @@ from .stability import run_stability, rotate_towards, stable_scf, StabilityResul
 from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations, vqe_statevector
 
 __all__ = ["run_fci", "run_ccsd", "run_cis", "oscillator_strengths",
+           "spin_labels",
            "CISResult", "run_mp2", "run_pt2",
            "run_double_hybrid", "sector_hamiltonian",
            "harmonic_frequencies", "hessian_fd", "ir_intensities",

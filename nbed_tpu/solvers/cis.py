@@ -29,7 +29,7 @@ import numpy as np
 
 from .ccsd import _antisymmetrized
 
-__all__ = ["run_cis", "CISResult", "oscillator_strengths"]
+__all__ = ["run_cis", "CISResult", "oscillator_strengths", "spin_labels"]
 
 
 @dataclass
@@ -52,6 +52,7 @@ class CISResult:
         idx = np.argsort(-np.abs(x))[:k]
         return [(int(self.pairs[p, 0]), int(self.pairs[p, 1]), float(x[p]))
                 for p in idx]
+
 
 
 def _singles_frame(so_h1, so_h2, occ_mask):
@@ -121,6 +122,39 @@ def run_cis(so_h1, so_h2, occ_mask, nroots: int | None = None) -> CISResult:
         pairs=pairs,
         e_ref_elec=e_ref_elec,
     )
+
+
+def spin_labels(scf_sol, result: CISResult):
+    """Singlet/triplet classification of CIS roots.
+
+    Returns a list of ``(label, s)`` with
+    ``s = 2 sum_ia X_aa[ia] X_bb[ia]`` over spatially matched pairs:
+    +1 for a pure singlet, -1 for the M_s = 0 component of a pure
+    triplet, in between ("mixed") for genuinely spin-contaminated
+    references.  The alpha/beta amplitude comparison is made physical by
+    aligning each spatial orbital's arbitrary per-spin sign through the
+    AO overlap (UHF eigensolvers fix signs independently per spin, so
+    the raw amplitude product can flip for individual orbitals).
+    """
+    c = np.asarray(scf_sol.mo_coeff)
+    if c.ndim == 2:
+        c = np.stack([c, c])
+    s_ao = np.asarray(scf_sol.engine.s)
+    align = np.sign(np.einsum("ui,uv,vi->i", c[0], s_ao, c[1]))
+
+    lut = {}
+    for p, (i, a) in enumerate(result.pairs):
+        lut[(int(i) // 2, int(a) // 2, int(i) % 2)] = p
+    out = []
+    for x in result.amplitudes:
+        s = 0.0
+        for (io, ao, spin), p in lut.items():
+            if spin == 0 and (io, ao, 1) in lut:
+                s += (2.0 * x[p] * x[lut[(io, ao, 1)]]
+                      * align[io] * align[ao])
+        out.append(("singlet" if s > 0.5 else
+                    "triplet" if s < -0.5 else "mixed", float(s)))
+    return out
 
 
 def oscillator_strengths(scf_sol, result: CISResult):

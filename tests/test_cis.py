@@ -13,7 +13,7 @@ import pytest
 
 from nbed_tpu.driver import run_emb_cis
 from nbed_tpu.ham import HamiltonianBuilder
-from nbed_tpu.solvers import run_cis, oscillator_strengths
+from nbed_tpu.solvers import run_cis, oscillator_strengths, spin_labels
 from nbed_tpu.solvers.fci import sector_hamiltonian
 
 pytestmark = pytest.mark.slow  # session SCF fixtures are compile-heavy
@@ -76,9 +76,17 @@ def test_cis_oscillator_strengths(water_uhf):
     f, mu = oscillator_strengths(water_uhf, res)
     assert f.shape == (8,) and mu.shape == (8, 3)
     assert np.all(f >= -1e-12)
-    # a closed-shell CIS spectrum pairs into singlets (bright-able) and
-    # triplets (spin-forbidden, f == 0); both kinds must appear
-    assert np.any(f > 1e-4) or np.any(f == 0)
+    # closed-shell spectrum: every root is a clean singlet or triplet,
+    # triplets are spin-forbidden (f == 0), and both kinds appear
+    labels = spin_labels(water_uhf, res)
+    assert all(abs(abs(s) - 1.0) < 1e-6 for _, s in labels)
+    kinds = {lab for lab, _ in labels}
+    assert kinds == {"singlet", "triplet"}
+    for r, (lab, _) in enumerate(labels):
+        if lab == "triplet":
+            assert f[r] < 1e-10
+    # water's lowest excitation is the 1b1 -> 4a1 triplet
+    assert labels[0][0] == "triplet" and labels[1][0] == "singlet"
 
 
 def test_embedded_cis(mu_driver):
