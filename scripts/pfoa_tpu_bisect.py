@@ -33,7 +33,30 @@ STAGES = {
     # KS adds grid + XC (crashed the worker on earlier full-pipeline runs)
     "ks": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
                xc="b3lyp"),
+    # LDA: no density gradients / grad-AO tables — isolates the GGA ops
+    "ks_lda": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
+                   xc="svwn"),
+    # 4x smaller grid — isolates grid-size-driven memory
+    "ks_grid1": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
+                     xc="b3lyp", grid_level=1),
+    # pure-f64 loop: removes the f32 XC fast path + incremental machinery
+    "ks_f64": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
+                   xc="b3lyp", incremental_jk="off"),
+    # force streaming XC (per-chunk AO recomputation, O(chunk*nao) memory)
+    "ks_stream": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
+                      xc="b3lyp"),
+    # force table XC at the full level-3 grid (1.5 GB f64 AO tables)
+    "ks_table": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
+                     xc="b3lyp"),
 }
+
+
+def _apply_overrides(name, eng):
+    if name == "ks_stream":
+        eng._XC_TABLE_LIMIT = 1  # instance override: always stream
+    if name == "ks_table":
+        eng._XC_TABLE_LIMIT = 1e12  # never stream
+    return eng
 
 
 def _stage(name):
@@ -44,12 +67,14 @@ def _stage(name):
     mol = build_molecule(XYZ.read_text(), "sto-3g")
     print(f"[{name}] nao={mol.nao}", file=sys.stderr, flush=True)
     t0 = time.perf_counter()
-    eng = SCFEngine(mol, **STAGES[name])
+    eng = _apply_overrides(name, SCFEngine(mol, **STAGES[name]))
     sol = eng.kernel()
     wall = time.perf_counter() - t0
-    print(json.dumps({"stage": name, "e_tot": float(sol.e_tot),
-                      "converged": bool(sol.converged),
-                      "wall_s": round(wall, 1)}), flush=True)
+    out = {"stage": name, "e_tot": float(sol.e_tot),
+           "converged": bool(sol.converged), "wall_s": round(wall, 1)}
+    if eng.xc is not None:
+        out["grid_points"] = int(eng._grid[0].shape[0])
+    print(json.dumps(out), flush=True)
 
 
 def main():
