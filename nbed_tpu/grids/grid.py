@@ -310,42 +310,54 @@ def build_grid(mol: Molecule, coords=None, n_rad: int = 80, n_theta: int = 18,
 def eval_aos(mol: Molecule, points, coords=None):
     """AO values and gradients on grid points.
 
+    All per-shell intermediates keep the grid axis G MINOR (shapes
+    ``(ncart, G)``), never ``(G, ncart)``: on TPU every f32 array is tiled
+    ``(8, 128)`` over its last two dims, so a ``(G, 1)`` s-shell column
+    pads 128x on the lane axis — at pfoa scale (G=384k, 66 shells) that
+    compiled to a 19.96 GB program (8% utilization) and OOMed the 16 GB
+    v5e.  With G minor the padding is at most 8x on the one-row sublane
+    axis (~1.5 MB/shell), and the single concatenated table transposes
+    back to the public layout in one well-tiled copy.
+
     Returns:
         ao: (G, nao); ao_grad: (3, G, nao).
     """
     c = jnp.asarray(mol.coords) if coords is None else coords
-    vals, grads = [], []
+    vals, grads = [], []  # per shell: (nsph, G) and (3, nsph, G)
     for sh in mol.shells:
         center = c[sh.atom]
-        rel = points - center[None, :]  # (G, 3)
-        r2 = jnp.sum(rel * rel, axis=1)
+        rel = (points - center[None, :]).T  # (3, G)
+        x, y, z = rel[0], rel[1], rel[2]
+        r2 = x * x + y * y + z * z  # (G,)
         exps = jnp.asarray(sh.exps)
         coefs = jnp.asarray(sh.coeffs)
-        gauss = coefs[None, :] * jnp.exp(-exps[None, :] * r2[:, None])  # (G, K)
-        rad = jnp.sum(gauss, axis=1)
-        drad = jnp.sum(-2.0 * exps[None, :] * gauss, axis=1)  # d(rad)/d(r2) * 2 ... see below
+        gauss = coefs[:, None] * jnp.exp(-exps[:, None] * r2[None, :])  # (K, G)
+        rad = jnp.sum(gauss, axis=0)
+        drad = jnp.sum(-2.0 * exps[:, None] * gauss, axis=0)  # d(rad)/d(r2) * 2 ... see below
         comps = cartesian_components(sh.l)
         mono = []
-        dmono = []  # (3, G, ncart)
+        dmono = []  # (3, ncart, G)
         for (i, j, k) in comps:
-            xm = rel[:, 0] ** i * rel[:, 1] ** j * rel[:, 2] ** k
+            xm = x ** i * y ** j * z ** k
             mono.append(xm)
-            gx = (i * rel[:, 0] ** max(i - 1, 0) * rel[:, 1] ** j * rel[:, 2] ** k
+            gx = (i * x ** max(i - 1, 0) * y ** j * z ** k
                   if i > 0 else jnp.zeros_like(xm))
-            gy = (j * rel[:, 0] ** i * rel[:, 1] ** max(j - 1, 0) * rel[:, 2] ** k
+            gy = (j * x ** i * y ** max(j - 1, 0) * z ** k
                   if j > 0 else jnp.zeros_like(xm))
-            gz = (k * rel[:, 0] ** i * rel[:, 1] ** j * rel[:, 2] ** max(k - 1, 0)
+            gz = (k * x ** i * y ** j * z ** max(k - 1, 0)
                   if k > 0 else jnp.zeros_like(xm))
             dmono.append(jnp.stack([gx, gy, gz]))
-        mono = jnp.stack(mono, axis=1)  # (G, ncart)
-        dmono = jnp.stack(dmono, axis=2)  # (3, G, ncart)
-        cart_val = mono * rad[:, None]
+        mono = jnp.stack(mono, axis=0)  # (ncart, G)
+        dmono = jnp.stack(dmono, axis=1)  # (3, ncart, G)
+        cart_val = mono * rad[None, :]
         # d/dx [mono * rad(r2)] = dmono*rad + mono * drad * d(r2)/dx, d(r2)/dx = 2x
         cart_grad = (
-            dmono * rad[None, :, None]
-            + mono[None, :, :] * drad[None, :, None] * (rel.T)[:, :, None]
+            dmono * rad[None, None, :]
+            + mono[None, :, :] * drad[None, None, :] * rel[:, None, :]
         )
-        c2s = jnp.asarray(sh.cart2sph)
-        vals.append(cart_val @ c2s)
-        grads.append(jnp.einsum("dgc,cs->dgs", cart_grad, c2s))
-    return jnp.concatenate(vals, axis=1), jnp.concatenate(grads, axis=2)
+        c2s_t = jnp.asarray(sh.cart2sph).T  # (nsph, ncart)
+        vals.append(c2s_t @ cart_val)
+        grads.append(jnp.einsum("sc,dcg->dsg", c2s_t, cart_grad))
+    ao_t = jnp.concatenate(vals, axis=0)  # (nao, G)
+    grad_t = jnp.concatenate(grads, axis=1)  # (3, nao, G)
+    return ao_t.T, jnp.swapaxes(grad_t, 1, 2)

@@ -82,6 +82,14 @@ def df_b_factor(mol, coords, beta: float = 1.8, omega: float = 0.0) -> np.ndarra
     return np.einsum("abP,PQ->abQ", b3, m_isqrt, optimize=True)
 
 
+# max elements of the (nao, nao, chunk) DF-exchange intermediate.  The
+# X64 two-f32 emulation expands an f64 GEMM temp ~4x in bytes (hi/lo
+# splits + cross-product partials: measured f32[8,nao,nao,naux] remat
+# copies at pfoa scale), so this bounds the *nominal* element count well
+# below HBM: 2e7 f64 elements -> ~160 MB nominal, <1 GB emulated.
+_DF_K_CHUNK_ELEMS = int(2e7)
+
+
 def _df_k_spin(b, d):
     """DF exchange K[i,j] = B_ikP d_kl B_jlP as two plain GEMM chains.
 
@@ -91,9 +99,34 @@ def _df_k_spin(b, d):
     engine feeds it, that route costs the same naux*nao^3 contractions
     PLUS an eigh *inside the jitted SCF loop* — and on TPU an in-loop
     eigh is both slow and the platform's known numerical weak spot
-    (f32-grade eigenvectors; large-n f32 eigh can NaN)."""
-    t = jnp.einsum("ikP,kl->ilP", b, d)
-    k = jnp.einsum("ilP,jlP->ij", t, b)
+    (f32-grade eigenvectors; large-n f32 eigh can NaN).
+
+    When the (nao, nao, naux) intermediate would exceed
+    ``_DF_K_CHUNK_ELEMS`` the auxiliary axis is processed in fixed-size
+    blocks under ``lax.fori_loop`` (K = sum_P B_P D B_P^T is exact under
+    any partition of P) — at pfoa scale the unblocked intermediate alone
+    OOMed the 16 GB v5e once the f64 emulation's hi/lo temps multiplied
+    it.
+    """
+    import jax
+
+    nao, naux = b.shape[0], b.shape[-1]
+    if nao * nao * naux <= _DF_K_CHUNK_ELEMS:
+        t = jnp.einsum("ikP,kl->ilP", b, d)
+        k = jnp.einsum("ilP,jlP->ij", t, b)
+        return 0.5 * (k + k.T)
+    chunk = max(256, _DF_K_CHUNK_ELEMS // (nao * nao))
+    n_blk = -(-naux // chunk)
+    pad = n_blk * chunk - naux
+    b_p = jnp.pad(b, ((0, 0), (0, 0), (0, pad))) if pad else b
+
+    def body(i, acc):
+        b_c = jax.lax.dynamic_slice_in_dim(b_p, i * chunk, chunk, axis=2)
+        t = jnp.einsum("ikP,kl->ilP", b_c, d)
+        return acc + jnp.einsum("ilP,jlP->ij", t, b_c)
+
+    k = jax.lax.fori_loop(0, n_blk, body,
+                          jnp.zeros((nao, nao), dtype=b.dtype))
     return 0.5 * (k + k.T)
 
 
@@ -287,9 +320,14 @@ class SCFEngine:
         k_lr = jnp.transpose(self.eri_lr, (0, 2, 1, 3)).reshape(n * n, n * n)
         return self._xc_meta[1] * k + beta * k_lr
 
-    # above ~4e7 AO-table elements (~320 MB in f64, x4 with gradients) the
-    # XC closure streams AO evaluation per grid chunk instead
-    _XC_TABLE_LIMIT = 4e7
+    # above this many AO-table elements (ao + 3 gradient tables = x4; 1e8
+    # elements ~ 3.2 GB f64) the XC closure streams AO evaluation per grid
+    # chunk instead.  The table path is strongly preferred on TPU: with the
+    # G-minor eval_aos layout it runs pfoa/level-3 (4.8e7 elements, 384k
+    # points) fine, while the streaming program (eval_aos under lax.map)
+    # crashes the TPU worker at that scale (round-3 bisect, ks_stream vs
+    # ks_table in scripts/pfoa_tpu_bisect.py).
+    _XC_TABLE_LIMIT = 1e8
 
     @cached_property
     def _grid(self):
