@@ -59,3 +59,39 @@ def test_df_b3lyp_energy(water_molecule, water_uks):
     assert df.converged
     # measured 5.3e-6 with the default auto-aux; parity-grade bound
     assert abs(df.e_tot - water_uks.e_tot) < 1e-5
+
+
+def test_df_k_chunked_matches_unblocked(water_molecule):
+    """The aux-chunked DF exchange (lax.fori_loop over P blocks) is exact:
+    K = sum_P B_P D B_P^T under any partition of P.  The chunked branch is
+    what runs at pfoa scale on TPU (the unblocked (nao, nao, naux)
+    intermediate OOMs under f64-emulation temps)."""
+    import jax.numpy as jnp
+
+    import nbed_tpu.scf.engine as eng_mod
+    from nbed_tpu.scf.engine import _df_k_spin
+
+    eng = SCFEngine(water_molecule, density_fitting=True)
+    b = jnp.asarray(eng._df_b)
+    rng = np.random.default_rng(7)
+    d = rng.standard_normal((b.shape[0], b.shape[0]))
+    d = jnp.asarray(d + d.T)
+    k_ref = np.asarray(_df_k_spin(b, d))
+    old = eng_mod._DF_K_CHUNK_ELEMS
+    try:
+        # force several blocks with an awkward (non-dividing) chunk size
+        eng_mod._DF_K_CHUNK_ELEMS = b.shape[0] ** 2 * 7
+        k_chunked = np.asarray(_df_k_spin(b, d))
+    finally:
+        eng_mod._DF_K_CHUNK_ELEMS = old
+    assert np.abs(k_chunked - k_ref).max() < 1e-10
+
+
+def test_xc_pack_prefers_table_below_limit(water_molecule):
+    """Table XC is used up to _XC_TABLE_LIMIT AO-table elements and only
+    then streams — the table path is the TPU-validated one (pfoa bisect)."""
+    eng = SCFEngine(water_molecule, xc="b3lyp")
+    assert eng._xc_pack(np.float64)[0] == "table"
+    eng2 = SCFEngine(water_molecule, xc="b3lyp")
+    eng2._XC_TABLE_LIMIT = 1
+    assert eng2._xc_pack(np.float64)[0] == "streaming"
