@@ -48,11 +48,20 @@ STAGES = {
     # force table XC at the full level-3 grid (1.5 GB f64 AO tables)
     "ks_table": dict(density_fitting=True, conv_tol=1e-6, max_cycle=50,
                      xc="b3lyp"),
+    # streaming-crash scale probes: same forced-stream program at a 4x
+    # smaller grid / without gradient tables — does the worker crash
+    # depend on grid size or on the GGA gradient path?
+    "ks_stream_grid1": dict(density_fitting=True, conv_tol=1e-6,
+                            max_cycle=50, xc="b3lyp", grid_level=1),
+    "ks_stream_lda": dict(density_fitting=True, conv_tol=1e-6,
+                          max_cycle=50, xc="svwn"),
+    # one-cycle stream: crash at first dispatch or mid-run?
+    "ks_stream_c1": dict(density_fitting=True, max_cycle=1, xc="b3lyp"),
 }
 
 
 def _apply_overrides(name, eng):
-    if name == "ks_stream":
+    if name.startswith("ks_stream"):
         eng._XC_TABLE_LIMIT = 1  # instance override: always stream
     if name == "ks_table":
         eng._XC_TABLE_LIMIT = 1e12  # never stream
