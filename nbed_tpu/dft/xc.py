@@ -4,10 +4,13 @@ The potential matrices are derived from the energy-density closure by JAX
 autodiff, so every functional in :mod:`nbed_tpu.dft.functionals` gets exact
 ``vrho``/``vsigma`` for free. The per-iteration cost is a handful of
 (G, nao) x (nao, nao) GEMMs — MXU-shaped by construction — evaluated over
-grid chunks under ``lax.map`` so peak memory is bounded for large
-molecules. The streaming variant recomputes AO values per chunk (AO
-evaluation is a tiny fraction of the GEMM cost), keeping memory at
-O(chunk * nao) instead of O(G * nao).
+grid chunks under ``lax.fori_loop`` with carried (exc, vxc) accumulators so
+peak memory is bounded for large molecules (the earlier ``lax.map``
+lowering stacked per-chunk outputs and hard-crashed the TPU worker at
+pfoa scale; sequential accumulation is the same structure as the
+aux-chunked DF exchange that is stable there). The streaming variant
+recomputes AO values per chunk (AO evaluation is a tiny fraction of the
+GEMM cost), keeping memory at O(chunk * nao) instead of O(G * nao).
 """
 
 import jax
@@ -129,11 +132,15 @@ def make_xc_fn(ao, ao_grad, weights, xc_name: str, chunk: int = 131072):
     def xc_fn(dm):
         if n_chunks == 1:
             return one_chunk(ao_p[0], grad_p[0], w_p[0], dm)
-        exc_c, v_c = jax.lax.map(
-            lambda data: one_chunk(data[0], data[1], data[2], dm),
-            (ao_p, grad_p, w_p),
-        )
-        return jnp.sum(exc_c), jnp.sum(v_c, axis=0)
+
+        def body(i, carry):
+            exc, v = carry
+            exc_c, v_c = one_chunk(ao_p[i], grad_p[i], w_p[i], dm)
+            return exc + exc_c, v + v_c
+
+        init = (jnp.zeros((), ao_p.dtype),
+                jnp.zeros((2,) + dm.shape[-2:], ao_p.dtype))
+        return jax.lax.fori_loop(0, n_chunks, body, init)
 
     return xc_fn
 
@@ -161,15 +168,21 @@ def make_xc_fn_streaming(mol, coords, points, weights, xc_name: str,
     w_p, _ = _pad_chunks(weights.astype(dtype), chunk)
 
     def xc_fn(dm):
-        def body(data):
-            pts_c, w_c = data
+        def chunk_contrib(pts_c, w_c):
             ao_c, grad_c = eval_aos(mol, pts_c, coords)
             return one_chunk(ao_c.astype(dtype), grad_c.astype(dtype), w_c,
                              dm)
 
         if n_chunks == 1:
-            return body((pts_p[0], w_p[0]))
-        exc_c, v_c = jax.lax.map(body, (pts_p, w_p))
-        return jnp.sum(exc_c), jnp.sum(v_c, axis=0)
+            return chunk_contrib(pts_p[0], w_p[0])
+
+        def body(i, carry):
+            exc, v = carry
+            exc_c, v_c = chunk_contrib(pts_p[i], w_p[i])
+            return exc + exc_c, v + v_c
+
+        init = (jnp.zeros((), dtype),
+                jnp.zeros((2,) + dm.shape[-2:], dtype))
+        return jax.lax.fori_loop(0, n_chunks, body, init)
 
     return xc_fn

@@ -322,11 +322,12 @@ class SCFEngine:
 
     # above this many AO-table elements (ao + 3 gradient tables = x4; 1e8
     # elements ~ 3.2 GB f64) the XC closure streams AO evaluation per grid
-    # chunk instead.  The table path is strongly preferred on TPU: with the
-    # G-minor eval_aos layout it runs pfoa/level-3 (4.8e7 elements, 384k
-    # points) fine, while the streaming program (eval_aos under lax.map)
-    # crashes the TPU worker at that scale (round-3 bisect, ks_stream vs
-    # ks_table in scripts/pfoa_tpu_bisect.py).
+    # chunk instead.  The table path is preferred on TPU: with the G-minor
+    # eval_aos layout it runs pfoa/level-3 (4.8e7 elements, 384k points)
+    # fine.  The streaming program under lax.map crashed the TPU worker at
+    # that scale (round-3 bisect, ks_stream vs ks_table in
+    # scripts/pfoa_tpu_bisect.py); it now runs under lax.fori_loop with
+    # carried accumulators, the same structure as the aux-chunked DF-K.
     _XC_TABLE_LIMIT = 1e8
 
     @cached_property
