@@ -15,11 +15,14 @@ from .sharding import (
     batched_hf_energies,
     batched_hf_gradients,
     make_mesh,
+    make_sharded_df_ks,
     make_sharded_df_scf,
     make_sharded_scf,
+    sharded_df_ks,
     sharded_df_scf,
     sharded_scf,
 )
 
 __all__ = ["make_mesh", "make_sharded_scf", "sharded_scf", "make_sharded_df_scf",
-           "sharded_df_scf", "batched_hf_energies", "batched_hf_gradients"]
+           "sharded_df_scf", "make_sharded_df_ks", "sharded_df_ks",
+           "batched_hf_energies", "batched_hf_gradients"]

@@ -29,6 +29,7 @@ from ..integrals import (
 from ..scf.hf import run_scf
 
 __all__ = ["make_mesh", "sharded_scf", "sharded_df_scf", "make_sharded_df_scf",
+           "sharded_df_ks", "make_sharded_df_ks",
            "batched_hf_energies", "pad_to_multiple"]
 
 
@@ -149,10 +150,15 @@ def make_sharded_df_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,
             j = jnp.einsum("abP,P->ab", b, rho)
 
             def k_spin(d):
-                w, u = jnp.linalg.eigh(d)
-                c_eff = u * jnp.sqrt(jnp.maximum(w, 0.0))[None, :]
-                t = jnp.einsum("ikP,ko->ioP", b, c_eff)
-                return jnp.einsum("ioP,joP->ij", t, t)
+                # GEMM-only exchange (no in-loop eigh): TPU f64 eigh has
+                # f32-grade eigenvectors and large-n f32 eigh can NaN, and
+                # with full-rank densities the eigen route costs the same
+                # naux*nao^3 anyway (round-3 pfoa bisect; matches the
+                # single-device engine's _df_k_spin). P stays sharded
+                # through both contractions; the reduction over P in the
+                # second is GSPMD's one all-reduce.
+                t = jnp.einsum("ikP,kl->ilP", b, d)
+                return jnp.einsum("ilP,jlP->ij", t, b)
 
             return j, jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
 
@@ -160,6 +166,98 @@ def make_sharded_df_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,
                        nelec=mol.nelec if nelec is None else nelec, **scf_kwargs)
 
     return jax.jit(df_run), (hcore, s, b)
+
+
+def make_sharded_df_ks(mol: Molecule, mesh: Mesh, xc: str = "b3lyp",
+                       coords=None, nelec=None, df_beta: float = 1.8,
+                       grid_level: int = 3, **scf_kwargs):
+    """Build the multi-chip UKS program: ``(jitted_fn, args)``.
+
+    Composes the two big-operand shardings so a KS step scales past one
+    chip's HBM on BOTH memory axes:
+
+    - DF factor B ``(nao, nao, naux)`` sharded over its auxiliary axis
+      (as in :func:`make_sharded_df_scf`) — J/K cost one all-reduce over
+      the mesh 'model' axis per cycle.
+    - XC quadrature sharded over GRID POINTS: the AO table ``(G, nao)``
+      and gradient table ``(3, G, nao)`` are zero-padded to a multiple of
+      the 'model' axis and sharded on G. Each device evaluates densities
+      and the functional on its grid slab; the Vxc back-contractions
+      ``einsum('g,gp,gq->pq')`` reduce over the sharded axis, which GSPMD
+      finishes with one all-reduce riding ICI. Zero-padding is exact: the
+      padded weights are zero, so both the energy sum and every
+      ``d(exc)/d(rho)`` potential weight vanish on pad rows.
+
+    Range-separated hybrids are not wired here (they need a second LR-ERI
+    operand); use the single-device engine for those.
+    """
+    from ..dft.functionals import resolve_functional
+    from ..dft.xc import _chunk_math, _mask_thresh
+    from ..grids import build_grid, eval_aos
+    from ..scf.engine import df_b_factor
+
+    terms, hyb, rsh = resolve_functional(xc)
+    if rsh is not None:
+        raise NotImplementedError(
+            "range-separated hybrids are not supported on the sharded KS "
+            "path; use the single-device SCFEngine")
+
+    c = np.asarray(mol.coords) if coords is None else np.asarray(coords)
+    cj = jnp.asarray(c)
+    n_model = mesh.shape["model"]
+    b = df_b_factor(mol, c, beta=df_beta)
+    b = np.pad(b, [(0, 0), (0, 0), (0, (-b.shape[2]) % n_model)])
+    aux_sharded = NamedSharding(mesh, P(None, None, "model"))
+    replicated = NamedSharding(mesh, P())
+    b = jax.device_put(jnp.asarray(b), aux_sharded)
+    hcore = jax.device_put(kinetic(mol, cj) + nuclear_attraction(mol, cj),
+                           replicated)
+    s = jax.device_put(overlap(mol, cj), replicated)
+
+    points, weights = build_grid(mol, cj, level=grid_level)
+    ao, ao_grad = eval_aos(mol, points, cj)
+    gpad = (-points.shape[0]) % n_model
+    ao = jnp.pad(ao, [(0, gpad), (0, 0)])
+    ao_grad = jnp.pad(ao_grad, [(0, 0), (0, gpad), (0, 0)])
+    weights = jnp.pad(weights, [(0, gpad)])
+    ao = jax.device_put(ao, NamedSharding(mesh, P("model", None)))
+    ao_grad = jax.device_put(ao_grad, NamedSharding(mesh, P(None, "model", None)))
+    weights = jax.device_put(weights, NamedSharding(mesh, P("model")))
+
+    xc_chunk = _chunk_math(terms, _mask_thresh(ao.dtype))
+
+    def ks_run(hcore, s, b, ao, ao_grad, weights):
+        def jk_fn(dm):
+            d_tot = dm[0] + dm[1]
+            rho = jnp.einsum("abP,ab->P", b, d_tot)
+            j = jnp.einsum("abP,P->ab", b, rho)
+
+            def k_spin(d):
+                t = jnp.einsum("ikP,kl->ilP", b, d)
+                return jnp.einsum("ilP,jlP->ij", t, b)
+
+            return j, jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
+
+        def xc_fn(dm):
+            return xc_chunk(ao, ao_grad, weights, dm)
+
+        return run_scf(hcore=hcore, s=s, jk_fn=jk_fn, xc_fn=xc_fn, hyb=hyb,
+                       nelec=mol.nelec if nelec is None else nelec,
+                       **scf_kwargs)
+
+    return jax.jit(ks_run), (hcore, s, b, ao, ao_grad, weights)
+
+
+def sharded_df_ks(mol: Molecule, mesh: Mesh, xc: str = "b3lyp", coords=None,
+                  nelec=None, df_beta: float = 1.8, grid_level: int = 3,
+                  **scf_kwargs):
+    """Multi-chip UKS: aux-sharded DF J/K + grid-point-sharded XC.
+
+    See :func:`make_sharded_df_ks`; returns the (replicated) SCFResult."""
+    fn, args = make_sharded_df_ks(mol, mesh, xc=xc, coords=coords,
+                                  nelec=nelec, df_beta=df_beta,
+                                  grid_level=grid_level, **scf_kwargs)
+    return fn(*args)
 
 
 def sharded_df_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,

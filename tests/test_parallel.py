@@ -95,6 +95,43 @@ def test_sharded_df_scf_partitions_and_matches(water_molecule, water_uhf):
     assert np.isclose(e_tot, e_single, atol=1e-8)
 
 
+def test_sharded_df_ks_partitions_and_matches(water_molecule, water_uks):
+    """Multi-chip UKS: aux-sharded DF J/K composed with grid-point-sharded
+    XC. Per-device slabs are (n, n, naux_pad/n_model) and (G_pad/n_model,
+    nao); the compiled program joins partial Vxc/J/K sums with collectives;
+    the energy matches the single-device DF engine (same fit, same grid)."""
+    from nbed_tpu.parallel import make_sharded_df_ks
+
+    mesh = make_mesh(8, batch=1)
+    fn, args = make_sharded_df_ks(water_molecule, mesh, xc="b3lyp",
+                                  conv_tol=1e-10, dm_conv_tol=1e-8,
+                                  max_cycle=100)
+    hcore, s, b, ao, ao_grad, weights = args
+    n = water_molecule.nao
+    n_model = mesh.shape["model"]
+    assert {sh.data.shape for sh in b.addressable_shards} \
+        == {(n, n, b.shape[2] // n_model)}
+    assert {sh.data.shape for sh in ao.addressable_shards} \
+        == {(ao.shape[0] // n_model, n)}
+
+    hlo = fn.lower(*args).compile().as_text()
+    assert any(tok in hlo for tok in ("all-reduce", "all-gather",
+                                      "reduce-scatter", "collective-permute")), \
+        "no collectives in the compiled sharded-DF-KS HLO"
+
+    res = fn(*args)
+    e_tot = float(res.e_elec) + float(water_molecule.energy_nuc())
+    assert bool(res.converged)
+    # B3LYP oracle within the DF fitting error
+    assert np.isclose(e_tot, water_uks.e_tot, atol=2e-5)
+
+    # identical fit + grid on one device: agreement far below the DF error
+    from nbed_tpu.scf.engine import SCFEngine
+    eng = SCFEngine(water_molecule, xc="b3lyp", density_fitting=True,
+                    conv_tol=1e-10, dm_conv_tol=1e-8, max_cycle=100)
+    assert np.isclose(e_tot, eng.kernel().e_tot, atol=1e-8)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(8, batch=2)
     assert dict(mesh.shape) == {"batch": 2, "model": 4}
