@@ -45,7 +45,7 @@ from .solvers import run_ccsd, run_fci
 logger = logging.getLogger(__name__)
 
 __all__ = ["NbedDriver", "run_emb_fci", "run_emb_ccsd", "run_emb_cis",
-           "dft_in_dft"]
+           "run_emb_rpa", "dft_in_dft"]
 
 
 class NbedDriver:
@@ -780,6 +780,27 @@ def run_emb_cis(scf_sol: SCFSolution, nroots=None, frozen=None):
             0.0, h1, h2, _spin_expand_frozen(frozen), occ_mask
         )
     return run_cis(h1, h2, occ_mask, nroots=nroots)
+
+
+def run_emb_rpa(scf_sol: SCFSolution, nroots=None, frozen=None):
+    """Embedded full-RPA/TDHF excitation energies (beyond the reference):
+    like :func:`run_emb_cis` but keeping the de-excitation (B) coupling —
+    the full linear-response spectrum of the embedded determinant.
+
+    Returns a :class:`nbed_tpu.solvers.cis.RPAResult`.
+    """
+    from .solvers.cis import run_rpa
+
+    hb = HamiltonianBuilder(scf_sol, 0.0)
+    _, h1, h2 = hb.build()
+    occ_mask = NbedDriver._interleaved_occ(scf_sol)
+    if frozen:
+        from .solvers.frozen import freeze_spinorbitals
+
+        _, h1, h2, occ_mask = freeze_spinorbitals(
+            0.0, h1, h2, _spin_expand_frozen(frozen), occ_mask
+        )
+    return run_rpa(h1, h2, occ_mask, nroots=nroots)
 
 
 def dft_in_dft(driver: NbedDriver, projection_method) -> dict:

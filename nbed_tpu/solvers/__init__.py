@@ -8,7 +8,8 @@ spin-orbital einsum implementation jitted end-to-end.
 """
 
 from .ccsd import run_ccsd
-from .cis import run_cis, oscillator_strengths, spin_labels, CISResult
+from .cis import (run_cis, run_rpa, oscillator_strengths, spin_labels,
+                  CISResult, RPAResult)
 from .mp2 import run_double_hybrid, run_mp2, run_pt2
 from .fci import run_fci, sector_hamiltonian
 from .hessian import (dipole_derivative_fd, harmonic_frequencies,
@@ -18,7 +19,8 @@ from .qse import run_qse, QSEResult
 from .stability import run_stability, rotate_towards, stable_scf, StabilityResult
 from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations, vqe_statevector
 
-__all__ = ["run_fci", "run_ccsd", "run_cis", "oscillator_strengths",
+__all__ = ["run_fci", "run_ccsd", "run_cis", "run_rpa",
+           "oscillator_strengths", "RPAResult",
            "spin_labels",
            "CISResult", "run_mp2", "run_pt2",
            "run_double_hybrid", "sector_hamiltonian",

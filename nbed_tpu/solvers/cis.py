@@ -29,7 +29,8 @@ import numpy as np
 
 from .ccsd import _antisymmetrized
 
-__all__ = ["run_cis", "CISResult", "oscillator_strengths", "spin_labels"]
+__all__ = ["run_cis", "run_rpa", "CISResult", "RPAResult",
+           "oscillator_strengths", "spin_labels"]
 
 
 @dataclass
@@ -121,6 +122,69 @@ def run_cis(so_h1, so_h2, occ_mask, nroots: int | None = None) -> CISResult:
         amplitudes=np.ascontiguousarray(x.T),
         pairs=pairs,
         e_ref_elec=e_ref_elec,
+    )
+
+
+@dataclass
+class RPAResult(CISResult):
+    """Full-RPA (TDHF) excitations; ``amplitudes`` holds X+Y rows.
+
+    With the normalisation ``(X+Y)·(X−Y) = 1`` (i.e. X²−Y² = 1), the
+    length-gauge transition dipole is ``Σ_ia (X+Y)_ia d_ia`` — so
+    :func:`oscillator_strengths` works on this result unchanged.
+    ``n_imaginary`` counts ω² < 0 roots (the RPA instability signature;
+    nonzero exactly when :func:`nbed_tpu.solvers.run_stability` finds the
+    underlying determinant unstable, since ω² is congruent to A+B).
+    Imaginary roots are reported as ω = 0 at the bottom of the spectrum.
+    """
+
+    xmy: np.ndarray = None  # (nroots, npairs) X−Y rows
+    n_imaginary: int = 0
+
+
+def run_rpa(so_h1, so_h2, occ_mask, nroots: int | None = None) -> RPAResult:
+    """Full RPA / TDHF excitation spectrum from spin-orbital integrals.
+
+    Solves the non-Hermitian response problem
+
+        [[A, B], [−B, −A]] [X, Y] = ω [X, Y],
+        A[(ia),(jb)] = f_ab δ_ij − f_ij δ_ab + <aj||ib>,
+        B[(ia),(jb)] = <ab||ij>,
+
+    via the Hermitian reduction (A−B)^{1/2} (A+B) (A−B)^{1/2} Z = ω² Z
+    (A−B is diagonal-dominant positive definite for any Aufbau
+    determinant here). Setting B = 0 recovers :func:`run_cis` (TDA).
+    Like CIS, the matrices are tiny next to the integral pipeline, so the
+    solve runs on the host in f64.
+
+    Beyond the reference: the reference has no excited-state machinery at
+    all; this gives TDHF spectra of embedded Hamiltonians (the builder's
+    ``so_h1`` already folds v_emb in).
+    """
+    w, fock, e_ref_elec, i_idx, a_idx = _singles_frame(so_h1, so_h2, occ_mask)
+    pairs = np.stack([i_idx, a_idx], axis=1)
+    a_mat = _a_matrix(w, fock, i_idx, a_idx)
+    b_mat = w[a_idx[:, None], a_idx[None, :], i_idx[:, None], i_idx[None, :]]
+
+    amb_vals, amb_vecs = np.linalg.eigh(a_mat - b_mat)
+    half = (amb_vecs * np.sqrt(np.maximum(amb_vals, 0.0))) @ amb_vecs.T
+    w2, z = np.linalg.eigh(half @ (a_mat + b_mat) @ half)
+    n_imag = int(np.sum(w2 < -1e-10))
+    omega = np.sqrt(np.maximum(w2, 0.0))
+
+    safe = np.where(omega > 1e-12, omega, 1.0)
+    xpy = (half @ z) / np.sqrt(safe)[None, :]  # (npairs, nroots)
+    xmy = ((a_mat + b_mat) @ xpy) / safe[None, :]
+
+    if nroots is not None:
+        omega, xpy, xmy = omega[:nroots], xpy[:, :nroots], xmy[:, :nroots]
+    return RPAResult(
+        excitations=omega,
+        amplitudes=np.ascontiguousarray(xpy.T),
+        pairs=pairs,
+        e_ref_elec=e_ref_elec,
+        xmy=np.ascontiguousarray(xmy.T),
+        n_imaginary=n_imag,
     )
 
 
