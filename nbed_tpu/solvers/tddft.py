@@ -1,0 +1,131 @@
+"""TDA-TDDFT with the exact exchange-correlation kernel by autodiff.
+
+Beyond the reference (UCL-CCS/Nbed has no excited-state machinery at
+all) and beyond this package's own :func:`nbed_tpu.solvers.run_cis`:
+``run_cis`` applies 100% HF exchange to whatever orbitals it is given,
+which on a Kohn-Sham reference is CIS-on-KS-orbitals, not TDDFT. This
+module builds the true TDA response of the (possibly embedded) KS
+determinant,
+
+    A[(ia),(jb)] = F_ab d_ij - F_ij d_ab + (ia|jb) - hyb (ij|ab)
+                   + (ia| f_xc |jb),
+
+with the XC kernel f_xc = d²E_xc/dρ² obtained EXACTLY from the
+autodiff XC layer: the potential closure ``vxc(dm)`` is already the
+JAX gradient of E_xc, so its directional derivative along an AO
+transition density — one ``jax.jvp`` — is the kernel contraction, for
+every functional in :mod:`nbed_tpu.dft.functionals` (LDA/GGA/meta-GGA,
+global and range-separated hybrids: the engine folds hyb*K + beta*K_LR
+into its exchange supermatrix, so the RSH response kernel comes along
+for free). No hand-derived f_xc formulas anywhere.
+
+The full TDA matrix is assembled by ``vmap``-ing the matrix-vector
+product over unit vectors (one batched XLA program: J/K GEMMs + the
+kernel jvp), then diagonalised on the host — response spaces here are
+n_occ x n_virt of an (embedded) active region, i.e. tiny next to the
+integral pipeline.
+
+For an embedded reference the environment enters through the fixed
+v_emb (and Huzinaga) operators in the ground-state Fock; a frozen
+environment has no response, so those terms are static — exactly the
+WF-in-DFT excited-state picture.
+"""
+
+import numpy as np
+
+from .cis import CISResult
+
+__all__ = ["run_tddft_tda"]
+
+
+def run_tddft_tda(scf_sol, nroots: int | None = None) -> CISResult:
+    """TDA excitation spectrum of an :class:`SCFSolution`.
+
+    For an ``xc=None`` (Hartree-Fock) engine this reduces exactly to
+    CIS; with a functional it is TDA-TDDFT with the autodiff f_xc
+    kernel. Works on global and embedded solutions (v_emb / Huzinaga
+    operators are folded into the ground-state Fock; truncated or
+    non-canonical MO sets are handled by using the full F_ij / F_ab
+    blocks rather than assuming diagonal orbital energies).
+
+    Returns a :class:`CISResult` (interleaved spin-orbital ``pairs``,
+    even = alpha), so :func:`oscillator_strengths` and
+    :func:`spin_labels` apply unchanged.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    eng = scf_sol.engine
+    n = eng.mol.nao
+    c = np.asarray(scf_sol.mo_coeff)
+    if c.ndim == 2:
+        c = np.stack([c, c])
+    occ = np.asarray(scf_sol.mo_occ)
+    if occ.ndim == 1:
+        occ = np.stack([occ / 2.0, occ / 2.0])
+
+    co = [jnp.asarray(c[s][:, occ[s] > 0]) for s in range(2)]
+    cv = [jnp.asarray(c[s][:, occ[s] <= 0]) for s in range(2)]
+    shapes = [(co[s].shape[1], cv[s].shape[1]) for s in range(2)]
+    sizes = [no * nv for no, nv in shapes]
+    if sum(sizes) == 0:
+        raise ValueError("No single excitations exist for this solution.")
+
+    # ground-state density and Fock (v_emb / Huzinaga included)
+    dm0 = jnp.asarray(scf_sol.make_rdm1())
+    xc_fn, hyb = eng._xc
+    veff = eng.get_veff(dm0)
+    fock = np.asarray(eng.hcore)[None] + np.asarray(veff.matrix)
+    if scf_sol.v_emb is not None:
+        fock = fock + np.asarray(scf_sol.v_emb)
+    if scf_sol.huzinaga_op is not None:
+        fock = fock + np.asarray(scf_sol.huzinaga_op)
+    fock = jnp.asarray(fock)
+    f_oo = [co[s].T @ fock[s] @ co[s] for s in range(2)]
+    f_vv = [cv[s].T @ fock[s] @ cv[s] for s in range(2)]
+
+    eri_j, eri_k = eng.eri_j, eng.eri_k
+
+    def matvec(x):
+        xs = [x[: sizes[0]].reshape(shapes[0]),
+              x[sizes[0]:].reshape(shapes[1])]
+        d = jnp.stack([co[s] @ xs[s] @ cv[s].T for s in range(2)])
+        j = (eri_j @ (d[0] + d[1]).reshape(-1)).reshape(n, n)
+        k = (eri_k @ d.reshape(2, -1).T).T.reshape(2, n, n)
+        v = j[None] - hyb * k
+        if xc_fn is not None:
+            _, dv = jax.jvp(lambda dd: xc_fn(dd)[1], (dm0,), (d,))
+            v = v + dv
+        outs = [
+            co[s].T @ v[s] @ cv[s]
+            + xs[s] @ f_vv[s] - f_oo[s] @ xs[s]
+            for s in range(2)
+        ]
+        return jnp.concatenate([o.reshape(-1) for o in outs])
+
+    npairs = sum(sizes)
+    a_mat = jax.jit(jax.vmap(matvec))(jnp.eye(npairs, dtype=dm0.dtype))
+    a_mat = np.asarray(a_mat)
+    a_mat = 0.5 * (a_mat + a_mat.T)  # symmetric for real orbitals
+
+    omega, x = np.linalg.eigh(a_mat)
+    if nroots is not None:
+        omega, x = omega[:nroots], x[:, :nroots]
+
+    # interleaved spin-orbital pair labels (even = alpha, odd = beta)
+    pairs = []
+    for s in range(2):
+        oi = np.where(occ[s] > 0)[0]
+        ai = np.where(occ[s] <= 0)[0]
+        ii, aa = np.meshgrid(oi, ai, indexing="ij")
+        pairs.append(np.stack([2 * ii.ravel() + s, 2 * aa.ravel() + s],
+                              axis=1))
+    pairs = np.concatenate(pairs, axis=0)
+
+    e_ref_elec = float(scf_sol.e_tot - eng.energy_nuc())
+    return CISResult(
+        excitations=omega,
+        amplitudes=np.ascontiguousarray(x.T),
+        pairs=pairs,
+        e_ref_elec=e_ref_elec,
+    )
