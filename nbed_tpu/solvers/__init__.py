@@ -8,8 +8,8 @@ spin-orbital einsum implementation jitted end-to-end.
 """
 
 from .ccsd import run_ccsd
-from .cis import (run_cis, run_rpa, oscillator_strengths, spin_labels,
-                  CISResult, RPAResult)
+from .cis import (run_cis, run_rpa, oscillator_strengths, polarizability,
+                  spin_labels, CISResult, RPAResult)
 from .mp2 import run_double_hybrid, run_mp2, run_pt2
 from .fci import run_fci, sector_hamiltonian
 from .hessian import (dipole_derivative_fd, harmonic_frequencies,
@@ -21,7 +21,7 @@ from .stability import run_stability, rotate_towards, stable_scf, StabilityResul
 from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations, vqe_statevector
 
 __all__ = ["run_fci", "run_ccsd", "run_cis", "run_rpa",
-           "oscillator_strengths", "RPAResult", "run_tddft_tda",
+           "oscillator_strengths", "RPAResult", "run_tddft_tda", "polarizability",
            "spin_labels",
            "CISResult", "run_mp2", "run_pt2",
            "run_double_hybrid", "sector_hamiltonian",

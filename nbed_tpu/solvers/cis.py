@@ -221,15 +221,8 @@ def spin_labels(scf_sol, result: CISResult):
     return out
 
 
-def oscillator_strengths(scf_sol, result: CISResult):
-    """Length-gauge oscillator strengths f = (2/3) w |<0|r|I>|^2.
-
-    ``scf_sol``'s MOs must map 1:1 onto the spin orbitals of ``result``
-    (i.e. no frozen-orbital reduction between the SCF and the CIS run).
-
-    Returns (f, mu): (nroots,) strengths and (nroots, 3) transition
-    dipoles (a.u.).
-    """
+def _pair_dipoles(scf_sol, pairs):
+    """(npairs, 3) MO-basis transition-dipole rows d_ia for given pairs."""
     from ..integrals.core import dipole_integrals
 
     dip = np.asarray(dipole_integrals(scf_sol.mol))  # (3, nao, nao)
@@ -237,10 +230,54 @@ def oscillator_strengths(scf_sol, result: CISResult):
     if c.ndim == 2:
         c = np.stack([c, c])
     dip_mo = np.einsum("xuv,sui,svj->sxij", dip, c, c)  # per-spin MO dipoles
-
-    i_idx, a_idx = result.pairs[:, 0], result.pairs[:, 1]
+    i_idx, a_idx = pairs[:, 0], pairs[:, 1]
     spin = i_idx % 2  # == a_idx % 2 by construction
-    pair_dip = dip_mo[spin, :, i_idx // 2, a_idx // 2]  # (npairs, 3)
+    return dip_mo[spin, :, i_idx // 2, a_idx // 2]  # (npairs, 3)
+
+
+def oscillator_strengths(scf_sol, result: CISResult):
+    """Length-gauge oscillator strengths f = (2/3) w |<0|r|I>|^2.
+
+    ``scf_sol``'s MOs must map 1:1 onto the spin orbitals of ``result``
+    (i.e. no frozen-orbital reduction between the SCF and the CIS run).
+    For an :class:`RPAResult` the amplitudes are X+Y with
+    ``(X+Y)·(X−Y) = 1``, which is exactly the length-gauge convention.
+
+    Returns (f, mu): (nroots,) strengths and (nroots, 3) transition
+    dipoles (a.u.).
+    """
+    pair_dip = _pair_dipoles(scf_sol, result.pairs)
     mu = result.amplitudes @ pair_dip  # (nroots, 3)
     f = (2.0 / 3.0) * result.excitations * np.sum(mu**2, axis=1)
     return f, mu
+
+
+def polarizability(scf_sol, result: "RPAResult", omega: float = 0.0):
+    """Dipole polarizability tensor alpha(omega) from the RPA spectrum.
+
+    Sum-over-states over the full RPA solution,
+
+        alpha_xy(omega) = 2 sum_r w_r mu_x^r mu_y^r / (w_r^2 − omega^2),
+
+    which for the X+Y normalisation used here equals the closed-form
+    linear response ``2 d^T (A+B − omega^2 (A−B)^{-1})^{-1}-type``
+    contraction exactly (see tests): at omega=0,
+    ``sum_r (X+Y)_r (X+Y)_r^T / w_r == (A+B)^{-1}``.
+
+    Beyond the reference (no response properties of any kind there).
+    Requires the full spectrum (``nroots=None`` in :func:`run_rpa`) for
+    the identity to be exact.
+
+    Returns a (3, 3) symmetric tensor in atomic units.
+    """
+    if getattr(result, "n_imaginary", 0):
+        raise ValueError("RPA has imaginary modes; polarizability of an "
+                         "unstable reference is undefined.")
+    pair_dip = _pair_dipoles(scf_sol, result.pairs)
+    mu = result.amplitudes @ pair_dip  # (nroots, 3)
+    w = result.excitations
+    denom = w**2 - omega**2
+    if np.any(np.abs(denom) < 1e-10):
+        raise ValueError("omega hits an excitation pole.")
+    weights = 2.0 * w / denom
+    return np.einsum("r,rx,ry->xy", weights, mu, mu)

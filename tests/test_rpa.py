@@ -86,6 +86,36 @@ def test_rpa_imaginary_iff_unstable():
     assert rpa.n_imaginary > 0
 
 
+def test_polarizability_identity_and_physics(water_uhf):
+    """SOS polarizability == the closed-form (A+B)^{-1} contraction
+    (exact with the full spectrum), and the tensor is symmetric PSD with
+    a sensible water-scale isotropic value."""
+    from nbed_tpu.solvers import polarizability
+    from nbed_tpu.solvers.cis import _pair_dipoles
+
+    _, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    occ_mask = _interleaved_occ(water_uhf)
+    rpa = run_rpa(h1, h2, occ_mask)
+    alpha = polarizability(water_uhf, rpa)
+
+    w, fock, _, i_idx, a_idx = _singles_frame(h1, h2, occ_mask)
+    a_mat = _a_matrix(w, fock, i_idx, a_idx)
+    b_mat = w[a_idx[:, None], a_idx[None, :], i_idx[:, None], i_idx[None, :]]
+    d = _pair_dipoles(water_uhf, rpa.pairs)  # (npairs, 3)
+    alpha_direct = 2.0 * d.T @ np.linalg.solve(a_mat + b_mat, d)
+    assert np.allclose(alpha, alpha_direct, atol=1e-9)
+
+    assert np.allclose(alpha, alpha.T, atol=1e-10)
+    evs = np.linalg.eigvalsh(alpha)
+    assert np.all(evs > 0)
+    # water STO-3G TDHF isotropic polarizability is O(1-10) a.u.
+    iso = np.trace(alpha) / 3.0
+    assert 0.5 < iso < 20.0
+    # dynamic alpha grows towards the first pole
+    alpha_dyn = polarizability(water_uhf, rpa, omega=0.2)
+    assert np.trace(alpha_dyn) / 3.0 > iso
+
+
 def test_embedded_rpa(mu_driver):
     cis = run_emb_rpa(mu_driver.mu["scf"], nroots=4)
     assert cis.n_imaginary == 0
