@@ -38,7 +38,70 @@ from .cis import CISResult
 __all__ = ["run_tddft_tda"]
 
 
-def run_tddft_tda(scf_sol, nroots: int | None = None) -> CISResult:
+def _davidson(matvec_block, diag, nroots, max_subspace=120,
+              conv_tol=1e-8, max_iter=60):
+    """Block Davidson for the symmetric TDA matrix, matrix-free.
+
+    ``matvec_block``: (m, N) -> (m, N) row-wise A application (one
+    batched XLA dispatch per iteration). ``diag``: (N,) preconditioner
+    (orbital-energy differences). Returns (omega (nroots,),
+    x (N, nroots)) like ``np.linalg.eigh`` columns.
+    """
+    n = diag.shape[0]
+    nroots = min(nroots, n)
+    # seed with the lowest-diagonal unit vectors (orthonormal)
+    seed = np.argsort(diag)[: min(max(2 * nroots, nroots + 2), n)]
+    v = np.zeros((n, len(seed)))
+    v[seed, np.arange(len(seed))] = 1.0
+    av = matvec_block(v.T).T  # (n, k)
+
+    theta = ritz = None
+    for _ in range(max_iter):
+        h = 0.5 * (v.T @ av + av.T @ v)
+        vals, s = np.linalg.eigh(h)
+        theta, s = vals[:nroots], s[:, :nroots]
+        ritz = v @ s  # (n, nroots), orthonormal columns
+        a_ritz = av @ s
+        resid = a_ritz - ritz * theta[None, :]
+        rnorm = np.linalg.norm(resid, axis=0)
+        if np.all(rnorm < conv_tol):
+            return theta, ritz
+
+        # precondition unconverged residuals, orthogonalize, append
+        new_dirs = []
+        basis = v
+        for r in range(nroots):
+            if rnorm[r] < conv_tol:
+                continue
+            denom = diag - theta[r]
+            denom = np.where(np.abs(denom) < 1e-8,
+                             np.where(denom >= 0, 1e-8, -1e-8), denom)
+            d = resid[:, r] / denom
+            for _ in range(2):  # twice for orthogonality at f64
+                d = d - basis @ (basis.T @ d)
+                for nd_col in new_dirs:
+                    d = d - nd_col * (nd_col @ d)
+            norm = np.linalg.norm(d)
+            if norm > 1e-10:
+                new_dirs.append(d / norm)
+        if not new_dirs:
+            return theta, ritz
+        add = np.stack(new_dirs, axis=1)
+
+        if v.shape[1] + add.shape[1] > max_subspace:
+            # thick restart: Ritz vectors (+ known products) carry over
+            for _ in range(2):
+                add = add - ritz @ (ritz.T @ add)
+            add, _ = np.linalg.qr(add)
+            v, av = ritz, a_ritz
+        v = np.concatenate([v, add], axis=1)
+        av = np.concatenate([av, matvec_block(add.T).T], axis=1)
+    return theta, ritz
+
+
+def run_tddft_tda(scf_sol, nroots: int | None = None,
+                  method: str = "auto", max_subspace: int = 120,
+                  conv_tol: float = 1e-8, max_iter: int = 60) -> CISResult:
     """TDA excitation spectrum of an :class:`SCFSolution`.
 
     For an ``xc=None`` (Hartree-Fock) engine this reduces exactly to
@@ -47,6 +110,14 @@ def run_tddft_tda(scf_sol, nroots: int | None = None) -> CISResult:
     operators are folded into the ground-state Fock; truncated or
     non-canonical MO sets are handled by using the full F_ij / F_ab
     blocks rather than assuming diagonal orbital energies).
+
+    ``method``: "dense" vmaps the matvec over all unit vectors and
+    diagonalises the full A (exact, right for embedded actives);
+    "davidson" runs a matrix-free block Davidson — each iteration is
+    one batched XLA program applying the J/K GEMMs + f_xc jvp to the
+    current trial block, so large response spaces never materialise A.
+    "auto" picks Davidson when ``nroots`` is set and the pair space is
+    large (> ``max_subspace``).
 
     Returns a :class:`CISResult` (interleaved spin-orbital ``pairs``,
     even = alpha), so :func:`oscillator_strengths` and
@@ -104,13 +175,31 @@ def run_tddft_tda(scf_sol, nroots: int | None = None) -> CISResult:
         return jnp.concatenate([o.reshape(-1) for o in outs])
 
     npairs = sum(sizes)
-    a_mat = jax.jit(jax.vmap(matvec))(jnp.eye(npairs, dtype=dm0.dtype))
-    a_mat = np.asarray(a_mat)
-    a_mat = 0.5 * (a_mat + a_mat.T)  # symmetric for real orbitals
+    batched = jax.jit(jax.vmap(matvec))
+    if method == "auto":
+        method = ("davidson" if nroots is not None and npairs > max_subspace
+                  else "dense")
 
-    omega, x = np.linalg.eigh(a_mat)
-    if nroots is not None:
-        omega, x = omega[:nroots], x[:, :nroots]
+    if method == "dense":
+        a_mat = np.asarray(batched(jnp.eye(npairs, dtype=dm0.dtype)))
+        a_mat = 0.5 * (a_mat + a_mat.T)  # symmetric for real orbitals
+        omega, x = np.linalg.eigh(a_mat)
+        if nroots is not None:
+            omega, x = omega[:nroots], x[:, :nroots]
+    else:
+        if nroots is None:
+            raise ValueError("method='davidson' needs nroots.")
+        # diagonal preconditioner: orbital-energy differences
+        diag = np.concatenate([
+            (np.diag(np.asarray(f_vv[s]))[None, :]
+             - np.diag(np.asarray(f_oo[s]))[:, None]).ravel()
+            for s in range(2)
+        ])
+        omega, x = _davidson(
+            lambda block: np.asarray(batched(jnp.asarray(block))),
+            diag, nroots, max_subspace=max_subspace,
+            conv_tol=conv_tol, max_iter=max_iter,
+        )
 
     # interleaved spin-orbital pair labels (even = alpha, odd = beta)
     pairs = []

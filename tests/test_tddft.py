@@ -73,6 +73,22 @@ def test_fxc_jvp_matches_finite_difference(water_molecule):
     assert np.max(np.abs(np.asarray(dv) - fd)) / scale < 1e-5
 
 
+def test_davidson_matches_dense(water_molecule):
+    """Matrix-free block Davidson (small max_subspace to force thick
+    restarts) reproduces the dense TDA roots to the solver tolerance."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    eng = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-10,
+                    dm_conv_tol=1e-8, max_cycle=100)
+    sol = eng.kernel()
+    dense = run_tddft_tda(sol, nroots=4, method="dense")
+    dav = run_tddft_tda(sol, nroots=4, method="davidson", max_subspace=10)
+    assert np.allclose(dav.excitations, dense.excitations, atol=1e-7)
+    # amplitudes agree up to sign
+    ov = np.abs(np.einsum("rp,rp->r", dav.amplitudes, dense.amplitudes))
+    assert np.all(ov > 1.0 - 1e-6)
+
+
 @pytest.mark.parametrize("xc", ["svwn", "b3lyp"])
 def test_water_ks_tda_spectrum(water_molecule, xc):
     from nbed_tpu.scf.engine import SCFEngine
