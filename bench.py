@@ -499,6 +499,33 @@ def main():
         out.update(res["out"])
         details.update(res["details"])
 
+    # same-config CPU-backend pipeline: the in-image stand-in for the
+    # reference's PySCF-CPU baseline (BASELINE.md north star is the
+    # device/CPU pipeline ratio; no PySCF in this image, and our CPU
+    # backend runs the identical algorithms through XLA:CPU)
+    if ("pipeline" in stages and out.get("backend")
+            not in (None, "cpu", "cpu-fallback")
+            and not os.environ.get("NBED_BENCH_SKIP_CPU_PIPELINE")):
+        cpu_env = dict(os.environ)
+        cpu_env["JAX_PLATFORMS"] = "cpu"
+        cpu_env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+        cpu_env["PYTHONPATH"] = ""
+        cpu_env.setdefault(
+            "NBED_TPU_JAX_CACHE",
+            os.path.expanduser("~/.cache/nbed_tpu_jax_cpu"),
+        )
+        res = _run_stage_subprocess("pipeline", env=cpu_env)
+        if res["status"] == "ok":
+            cpu_warm = res["out"].get("embed_pipeline_warm_s")
+            out["embed_pipeline_cpu_warm_s"] = cpu_warm
+            tpu_warm = out.get("embed_pipeline_warm_s")
+            if cpu_warm and tpu_warm:
+                out["pipeline_speedup_warm"] = round(cpu_warm / tpu_warm, 2)
+            details["pipeline_cpu_stage_timings_s"] = \
+                res["details"].get("pipeline_stage_timings_s")
+        else:
+            details["pipeline_cpu_error"] = res["status"]
+
     print(json.dumps(out), flush=True)
     with open("bench_details.json", "w") as f:
         json.dump(details, f, indent=2)
