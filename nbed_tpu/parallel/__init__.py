@@ -11,6 +11,7 @@ TPU-native parallel dimensions for this domain are:
   ICI collectives (XLA inserts psum/all-gather from sharding annotations).
 """
 
+from .embed_path import batched_embedding_energies, make_mu_embed_energy
 from .sharding import (
     batched_hf_energies,
     batched_hf_gradients,
@@ -25,4 +26,5 @@ from .sharding import (
 
 __all__ = ["make_mesh", "make_sharded_scf", "sharded_scf", "make_sharded_df_scf",
            "sharded_df_scf", "make_sharded_df_ks", "sharded_df_ks",
-           "batched_hf_energies", "batched_hf_gradients"]
+           "batched_hf_energies", "batched_hf_gradients",
+           "make_mu_embed_energy", "batched_embedding_energies"]

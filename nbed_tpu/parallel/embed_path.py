@@ -1,0 +1,200 @@
+"""The WHOLE mu-embedding pipeline as one jittable function of geometry.
+
+Beyond both the reference and this package's host-orchestrated driver:
+``make_mu_embed_energy`` compiles global KS -> SPADE partition ->
+subsystem-DFT energy decomposition -> mu-shift embedded HF -> embedded
+total-energy assembly into a SINGLE pure XLA program ``coords ->
+e_emb_rhf``, so the full WF-in-DFT energy can be
+
+``vmap``-ed over conformer fleets (reaction paths, scans) with the
+batch axis sharded over the mesh — the TPU-native form of the
+reference's ACE reaction-path workflow (its per-geometry Python
+pipeline, reference ace.py:54-85, becomes one batched device program).
+
+The one data-dependent decision in the driver's pipeline — SPADE's
+largest-singular-value-gap choice of the active-space size (reference
+occupied/spade.py:113-121) — is not traceable (it changes array
+shapes), so the active-MO count is a STATIC argument here, exactly like
+the reference's own ``n_mo_overwrite`` path that ACE feeds
+(reference ace.py -> spade.py:98-123). Run the host driver (or
+:class:`nbed_tpu.localizers.ACELocalizer`) once to fix ``n_act_mos``,
+then scan geometries with this program.
+
+Energy assembly follows the driver (driver.py `_mu_embed`/`post_embed`,
+reference driver.py:500-538, 981-998):
+
+    e_rhf = e_tot(embedded HF with v_emb) + e_env + two_e_cross
+            - sum_s Tr(v_emb_s D_act_s)
+
+with v_emb = mu * S D_env S + (veff[D_tot] - veff[D_act]).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ..chem.molecule import Molecule
+from ..integrals import eri_tensor, kinetic, nuclear_attraction, overlap
+from ..scf.hf import run_scf
+
+__all__ = ["make_mu_embed_energy", "batched_embedding_energies"]
+
+
+def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
+                         xc: str = "b3lyp", mu_level_shift: float = 1e6,
+                         conv_tol: float = 1e-9, dm_conv_tol: float = 1e-7,
+                         max_cycle: int = 100, grid_level: int = 3):
+    """Build the jittable ``energy(coords) -> dict`` embedding program.
+
+    Args:
+        mol: molecule (atom/basis structure; geometry comes per call).
+        n_active_atoms: leading atoms forming the active fragment.
+        n_act_mos: STATIC active-MO count — an int, or a per-spin
+            ``(n_alpha, n_beta)`` tuple (open shell). Fix it with one
+            host-driver/ACE run, as the reference fixes n_mo_overwrite.
+        xc: environment functional (global hybrids / pure; RSH not wired
+            on this path).
+        mu_level_shift: the mu projector shift (reference config default).
+
+    Returns a pure function of ``coords`` (natm, 3, bohr) returning
+    ``{"e_emb_rhf", "e_global", "e_act", "e_env", "two_e_cross",
+    "converged"}`` — jit/vmap/grad-compatible.
+    """
+    from ..dft.functionals import resolve_functional
+    from ..dft.xc import _chunk_math, _mask_thresh
+
+    terms, hyb, rsh = resolve_functional(xc) if xc else ([], 1.0, None)
+    if rsh is not None:
+        raise NotImplementedError(
+            "range-separated hybrids are not wired on the jittable "
+            "embedding path; use the host driver")
+    one_chunk = _chunk_math(terms, _mask_thresh(jnp.float64)) if terms else None
+
+    n = mol.nao
+    n_act_aos = int(mol.aoslice_by_atom()[n_active_atoms - 1][-1])
+    n_occ = tuple(int(x) for x in mol.nelec)  # per-spin occupied counts
+    if np.ndim(n_act_mos) == 0:
+        n_act = (int(n_act_mos), int(n_act_mos))
+    else:
+        n_act = (int(n_act_mos[0]), int(n_act_mos[1]))
+    if any(n_act[s] > n_occ[s] for s in range(2)):
+        raise ValueError(f"n_act_mos {n_act} exceeds occupied {n_occ}.")
+
+    def energy(coords):
+        coords = jnp.asarray(coords)
+        s = overlap(mol, coords)
+        hcore = kinetic(mol, coords) + nuclear_attraction(mol, coords)
+        eri = eri_tensor(mol, coords)
+        eri_j = eri.reshape(n * n, n * n)
+        eri_k = jnp.transpose(eri, (0, 2, 1, 3)).reshape(n * n, n * n)
+        e_nuc = mol.energy_nuc(coords)
+
+        if one_chunk is not None:
+            from ..grids import build_grid, eval_aos
+
+            pts, w = build_grid(mol, coords, level=grid_level)
+            ao, grad = eval_aos(mol, pts, coords)
+
+            def xc_fn(dm):
+                return one_chunk(ao, grad, w, dm)
+        else:
+            xc_fn = None
+
+        # ---- global KS (the reference's _global_ks, driver.py:155-191)
+        glob = run_scf(
+            hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, xc_fn=xc_fn,
+            hyb=hyb, nelec=n_occ, conv_tol=conv_tol,
+            dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
+        )
+        e_global = glob.e_elec + e_nuc
+
+        # ---- SPADE with a static active count (spade.py:98-134 semantics)
+        w_s, v_s = jnp.linalg.eigh(s)
+        s_half = (v_s * jnp.sqrt(w_s)[None, :]) @ v_s.T
+
+        def spade(c_spin, n_o, k):
+            occ_c = c_spin[:, :n_o]
+            _, _, vt = jnp.linalg.svd(
+                (s_half @ occ_c)[:n_act_aos, :], full_matrices=True
+            )
+            c_loc = occ_c @ vt.T
+            c_act, c_env = c_loc[:, :k], c_loc[:, k:]
+            return c_act @ c_act.T, c_env @ c_env.T
+
+        parts = [spade(glob.mo_coeff[sp], n_occ[sp], n_act[sp])
+                 for sp in range(2)]
+        dm_act = jnp.stack([p[0] for p in parts])
+        dm_env = jnp.stack([p[1] for p in parts])
+
+        # ---- subsystem-DFT decomposition (driver.py:315-431 semantics)
+        def veff_parts(dm):
+            j = (eri_j @ (dm[0] + dm[1]).reshape(-1)).reshape(n, n)
+            k = (eri_k @ dm.reshape(2, -1).T).T.reshape(2, n, n)
+            if xc_fn is not None:
+                exc, vxc = xc_fn(dm)
+            else:
+                exc, vxc = jnp.asarray(0.0), jnp.zeros_like(dm)
+            v = j[None] + vxc - hyb * k
+            ecoul = 0.5 * jnp.einsum("ij,ji->", j, dm[0] + dm[1])
+            exc = exc - 0.5 * hyb * jnp.einsum("sij,sji->", k, dm)
+            e = jnp.einsum("ij,ji->", hcore, dm[0] + dm[1]) + ecoul + exc
+            return e, v, exc, j
+
+        e_act, v_act, exc_act, j_act = veff_parts(dm_act)
+        e_env, v_env, exc_env, j_env = veff_parts(dm_env)
+        _, v_tot, exc_tot, _ = veff_parts(dm_act + dm_env)
+        j_cross = 0.5 * (
+            jnp.einsum("sij,ij->", dm_act, j_env)
+            + jnp.einsum("sij,ij->", dm_env, j_act)
+        )
+        two_e_cross = j_cross + (exc_tot - exc_act - exc_env)
+
+        # ---- mu-shift embedded HF (driver.py:500-538 semantics)
+        p_env = jnp.einsum("ij,sjk,kl->sil", s, dm_env, s)
+        v_emb = mu_level_shift * p_env + (v_tot - v_act)
+        emb = run_scf(
+            hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, nelec=n_act,
+            v_emb=v_emb, dm0=dm_act, conv_tol=conv_tol,
+            dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
+        )
+        corr = jnp.einsum("sij,sij->", v_emb, dm_act)
+        e_emb_rhf = (emb.e_elec + e_nuc) + e_env + two_e_cross - corr
+
+        return {
+            "e_emb_rhf": e_emb_rhf,
+            "e_global": e_global,
+            "e_act": e_act,
+            "e_env": e_env,
+            "two_e_cross": two_e_cross,
+            "converged": jnp.logical_and(glob.converged, emb.converged),
+        }
+
+    return energy
+
+
+def batched_embedding_energies(mol: Molecule, coords_batch,
+                               n_active_atoms: int, n_act_mos,
+                               mesh=None, **kwargs):
+    """Embedded energies for a conformer batch from ONE compiled program.
+
+    ``coords_batch``: (B, natm, 3) bohr. With a mesh, the batch axis is
+    sharded over the mesh 'batch' axis (pure data parallelism: every
+    lane runs global-KS -> SPADE -> mu-embedded-HF on its geometry).
+    Returns the dict of stacked outputs from :func:`make_mu_embed_energy`.
+    """
+    fn = make_mu_embed_energy(mol, n_active_atoms, n_act_mos, **kwargs)
+    coords_batch = jnp.asarray(coords_batch)
+    vfn = jax.vmap(fn)
+    if mesh is not None:
+        sharding = NamedSharding(mesh, P("batch"))
+        coords_batch = jax.device_put(
+            coords_batch, NamedSharding(mesh, P("batch", None, None))
+        )
+        vfn = jax.jit(vfn, out_shardings={
+            k: sharding for k in ("e_emb_rhf", "e_global", "e_act", "e_env",
+                                  "two_e_cross", "converged")
+        })
+    else:
+        vfn = jax.jit(vfn)
+    return vfn(coords_batch)

@@ -132,6 +132,61 @@ def test_sharded_df_ks_partitions_and_matches(water_molecule, water_uks):
     assert np.isclose(e_tot, eng.kernel().e_tot, atol=1e-8)
 
 
+def test_jittable_embed_path_matches_driver(water_molecule, mu_driver):
+    """The one-program embedding path (global KS -> SPADE -> subsystem
+    decomposition -> mu-embedded HF -> assembly) reproduces the host
+    driver's mu e_rhf on the same geometry/config."""
+    import jax.numpy as jnp
+
+    from nbed_tpu.parallel import make_mu_embed_energy
+
+    inds = mu_driver.localized_system.active_mo_inds
+    n_act = len(inds) if inds.ndim == 1 else (len(inds[0]), len(inds[1]))
+    fn = make_mu_embed_energy(
+        water_molecule, n_active_atoms=1, n_act_mos=n_act, xc="b3lyp",
+        conv_tol=1e-10, dm_conv_tol=1e-8, max_cycle=100,
+    )
+    out = fn(jnp.asarray(water_molecule.coords))
+    assert bool(out["converged"])
+    assert np.isclose(float(out["e_emb_rhf"]), mu_driver.mu["e_rhf"],
+                      atol=5e-6)
+    assert np.isclose(float(out["e_global"]),
+                      float(mu_driver._global_ks.e_tot), atol=5e-6)
+    # internal identities, same as the driver's partition test
+    assert np.isclose(float(out["e_act"] + out["e_env"] + out["two_e_cross"])
+                      + float(water_molecule.energy_nuc()),
+                      float(out["e_global"]), atol=1e-9)
+
+
+def test_batched_embedding_energies(water_molecule, mu_driver):
+    """Conformer-fleet embedded-energy scan: one compiled program, batch
+    axis sharded over the mesh; the unperturbed lane equals the
+    single-geometry program and stretching raises the embedded energy."""
+    from nbed_tpu.parallel import (batched_embedding_energies,
+                                   make_mu_embed_energy)
+
+    inds = mu_driver.localized_system.active_mo_inds
+    n_act = len(inds) if inds.ndim == 1 else (len(inds[0]), len(inds[1]))
+    mesh = make_mesh(8, batch=2)
+    base = np.asarray(water_molecule.coords)
+    coords = np.repeat(base[None], 4, axis=0)
+    coords[:, 2, 2] += np.linspace(0.0, 0.05, 4)
+
+    out = batched_embedding_energies(
+        water_molecule, coords, n_active_atoms=1, n_act_mos=n_act,
+        xc="b3lyp", grid_level=1, mesh=mesh, conv_tol=1e-9,
+        dm_conv_tol=1e-7,
+    )
+    assert np.all(np.asarray(out["converged"]))
+    single = make_mu_embed_energy(
+        water_molecule, n_active_atoms=1, n_act_mos=n_act, xc="b3lyp",
+        grid_level=1, conv_tol=1e-9, dm_conv_tol=1e-7,
+    )(coords[0])
+    assert np.isclose(float(out["e_emb_rhf"][0]), float(single["e_emb_rhf"]),
+                      atol=1e-8)
+    assert np.all(np.diff(np.asarray(out["e_global"])) > 0)
+
+
 def test_mesh_shapes():
     mesh = make_mesh(8, batch=2)
     assert dict(mesh.shape) == {"batch": 2, "model": 4}
