@@ -44,7 +44,8 @@ __all__ = ["make_mu_embed_energy", "batched_embedding_energies"]
 def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
                          xc: str = "b3lyp", mu_level_shift: float = 1e6,
                          conv_tol: float = 1e-9, dm_conv_tol: float = 1e-7,
-                         max_cycle: int = 100, grid_level: int = 3):
+                         max_cycle: int = 100, grid_level: int = 3,
+                         projector: str = "mu"):
     """Build the jittable ``energy(coords) -> dict`` embedding program.
 
     Args:
@@ -56,11 +57,17 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
         xc: environment functional (global hybrids / pure; RSH not wired
             on this path).
         mu_level_shift: the mu projector shift (reference config default).
+        projector: "mu" (level-shift projector in v_emb) or "huzinaga"
+            (the −(FDS + SDF) operator inside the jitted SCF loop; the
+            converged operator is frozen into v_emb for the correction,
+            as the driver does, reference driver.py:595-597).
 
     Returns a pure function of ``coords`` (natm, 3, bohr) returning
     ``{"e_emb_rhf", "e_global", "e_act", "e_env", "two_e_cross",
-    "converged"}`` — jit/vmap/grad-compatible.
+    "converged"}`` — jit/vmap-compatible.
     """
+    if projector not in ("mu", "huzinaga"):
+        raise ValueError(f"unknown projector {projector!r}")
     from ..dft.functionals import resolve_functional
     from ..dft.xc import _chunk_math, _mask_thresh
 
@@ -150,15 +157,28 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
         )
         two_e_cross = j_cross + (exc_tot - exc_act - exc_env)
 
-        # ---- mu-shift embedded HF (driver.py:500-538 semantics)
-        p_env = jnp.einsum("ij,sjk,kl->sil", s, dm_env, s)
-        v_emb = mu_level_shift * p_env + (v_tot - v_act)
-        emb = run_scf(
-            hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, nelec=n_act,
-            v_emb=v_emb, dm0=dm_act, conv_tol=conv_tol,
-            dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
-        )
-        corr = jnp.einsum("sij,sij->", v_emb, dm_act)
+        # ---- embedded HF (mu: driver.py:500-538; huz: driver.py:540-632)
+        v_pot = v_tot - v_act
+        if projector == "mu":
+            p_env = jnp.einsum("ij,sjk,kl->sil", s, dm_env, s)
+            v_emb = mu_level_shift * p_env + v_pot
+            emb = run_scf(
+                hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, nelec=n_act,
+                v_emb=v_emb, dm0=dm_act, conv_tol=conv_tol,
+                dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
+            )
+            v_corr = v_emb
+        else:
+            emb = run_scf(
+                hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, nelec=n_act,
+                v_emb=v_pot, dm_env_occ=dm_env, dm0=dm_act,
+                conv_tol=conv_tol, dm_conv_tol=dm_conv_tol,
+                max_cycle=max_cycle,
+            )
+            # freeze the converged Huzinaga operator into v_emb for the
+            # correction, as the driver does (reference driver.py:595-597)
+            v_corr = emb.huzinaga_op + v_pot
+        corr = jnp.einsum("sij,sij->", v_corr, dm_act)
         e_emb_rhf = (emb.e_elec + e_nuc) + e_env + two_e_cross - corr
 
         return {

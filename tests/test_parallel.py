@@ -158,6 +158,25 @@ def test_jittable_embed_path_matches_driver(water_molecule, mu_driver):
                       float(out["e_global"]), atol=1e-9)
 
 
+def test_jittable_embed_path_huzinaga(water_molecule, huz_driver):
+    """Same program with the Huzinaga projector inside the jitted loop."""
+    import jax.numpy as jnp
+
+    from nbed_tpu.parallel import make_mu_embed_energy
+
+    inds = huz_driver.localized_system.active_mo_inds
+    n_act = len(inds) if inds.ndim == 1 else (len(inds[0]), len(inds[1]))
+    fn = make_mu_embed_energy(
+        water_molecule, n_active_atoms=1, n_act_mos=n_act, xc="b3lyp",
+        conv_tol=1e-10, dm_conv_tol=1e-8, max_cycle=100,
+        projector="huzinaga",
+    )
+    out = fn(jnp.asarray(water_molecule.coords))
+    assert bool(out["converged"])
+    assert np.isclose(float(out["e_emb_rhf"]), huz_driver.huzinaga["e_rhf"],
+                      atol=5e-6)
+
+
 def test_batched_embedding_energies(water_molecule, mu_driver):
     """Conformer-fleet embedded-energy scan: one compiled program, batch
     axis sharded over the mesh; the unperturbed lane equals the
