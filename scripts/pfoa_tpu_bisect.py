@@ -56,7 +56,17 @@ STAGES = {
     "ks_stream_lda": dict(density_fitting=True, conv_tol=1e-6,
                           max_cycle=50, xc="svwn"),
     # one-cycle stream: crash at first dispatch or mid-run?
+    # (2026-08-19: rc=0 after the fori_loop XC rewrite — the lax.map
+    # program crashed instantly; full-SCF streaming still crashes, see
+    # ks_stream_grid1. The remaining trigger is cycle count and/or the
+    # smaller-grid program shapes.)
     "ks_stream_c1": dict(density_fitting=True, max_cycle=1, xc="b3lyp"),
+    # three cycles at the FULL grid: separates "more cycles" from
+    # "grid1 shapes" as the remaining crash trigger
+    "ks_stream_c3": dict(density_fitting=True, max_cycle=3, xc="b3lyp"),
+    # full-grid one-cycle with the f32/incremental fast paths disabled
+    "ks_stream_c3_f64": dict(density_fitting=True, max_cycle=3, xc="b3lyp",
+                             incremental_jk="off"),
 }
 
 
