@@ -52,6 +52,20 @@ def pad_to_multiple(x, multiple: int, axes=(0,)):
     return jnp.pad(x, pads)
 
 
+def _df_k_gemm(b, d):
+    """Aux-sharded DF exchange: K_ij = B_ikP D_kl B_jlP as a pure GEMM
+    chain (no in-loop eigh: TPU f64 eigh has f32-grade eigenvectors and
+    large-n f32 eigh can NaN; at full rank the eigen route costs the same
+    naux*nao^3 anyway — round-3 pfoa bisect, matching the single-device
+    engine's _df_k_spin, whose aux-axis chunking is NOT used here because
+    slicing the sharded axis inside jit would force a gather; the sharding
+    itself already bounds the per-device intermediate to
+    nao^2 * naux / n_model). P stays sharded through both contractions;
+    the reduction over P in the second is GSPMD's one all-reduce."""
+    t = jnp.einsum("ikP,kl->ilP", b, d)
+    return jnp.einsum("ilP,jlP->ij", t, b)
+
+
 def make_sharded_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,
                      **scf_kwargs):
     """Build the model-parallel SCF program: ``(jitted_fn, args)``.
@@ -149,18 +163,8 @@ def make_sharded_df_scf(mol: Molecule, mesh: Mesh, coords=None, nelec=None,
             rho = jnp.einsum("abP,ab->P", b, d_tot)
             j = jnp.einsum("abP,P->ab", b, rho)
 
-            def k_spin(d):
-                # GEMM-only exchange (no in-loop eigh): TPU f64 eigh has
-                # f32-grade eigenvectors and large-n f32 eigh can NaN, and
-                # with full-rank densities the eigen route costs the same
-                # naux*nao^3 anyway (round-3 pfoa bisect; matches the
-                # single-device engine's _df_k_spin). P stays sharded
-                # through both contractions; the reduction over P in the
-                # second is GSPMD's one all-reduce.
-                t = jnp.einsum("ikP,kl->ilP", b, d)
-                return jnp.einsum("ilP,jlP->ij", t, b)
-
-            return j, jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
+            return j, jnp.stack([_df_k_gemm(b, dm[0]),
+                                 _df_k_gemm(b, dm[1])])
 
         return run_scf(hcore=hcore, s=s, jk_fn=jk_fn,
                        nelec=mol.nelec if nelec is None else nelec, **scf_kwargs)
@@ -232,11 +236,8 @@ def make_sharded_df_ks(mol: Molecule, mesh: Mesh, xc: str = "b3lyp",
             rho = jnp.einsum("abP,ab->P", b, d_tot)
             j = jnp.einsum("abP,P->ab", b, rho)
 
-            def k_spin(d):
-                t = jnp.einsum("ikP,kl->ilP", b, d)
-                return jnp.einsum("ilP,jlP->ij", t, b)
-
-            return j, jnp.stack([k_spin(dm[0]), k_spin(dm[1])])
+            return j, jnp.stack([_df_k_gemm(b, dm[0]),
+                                 _df_k_gemm(b, dm[1])])
 
         def xc_fn(dm):
             return xc_chunk(ao, ao_grad, weights, dm)

@@ -167,9 +167,13 @@ def run_rpa(so_h1, so_h2, occ_mask, nroots: int | None = None) -> RPAResult:
     b_mat = w[a_idx[:, None], a_idx[None, :], i_idx[:, None], i_idx[None, :]]
 
     amb_vals, amb_vecs = np.linalg.eigh(a_mat - b_mat)
+    # A−B indefinite is itself an instability (complex/non-real class):
+    # the Hermitian reduction clamps those directions, so count them into
+    # n_imaginary rather than silently absorbing them.
+    n_imag_amb = int(np.sum(amb_vals < -1e-10))
     half = (amb_vecs * np.sqrt(np.maximum(amb_vals, 0.0))) @ amb_vecs.T
     w2, z = np.linalg.eigh(half @ (a_mat + b_mat) @ half)
-    n_imag = int(np.sum(w2 < -1e-10))
+    n_imag = int(np.sum(w2 < -1e-10)) + n_imag_amb
     omega = np.sqrt(np.maximum(w2, 0.0))
 
     safe = np.where(omega > 1e-12, omega, 1.0)
@@ -273,6 +277,11 @@ def polarizability(scf_sol, result: "RPAResult", omega: float = 0.0):
     if getattr(result, "n_imaginary", 0):
         raise ValueError("RPA has imaginary modes; polarizability of an "
                          "unstable reference is undefined.")
+    if result.amplitudes.shape[0] != result.pairs.shape[0]:
+        raise ValueError(
+            "polarizability needs the FULL RPA spectrum "
+            f"({result.pairs.shape[0]} roots), got "
+            f"{result.amplitudes.shape[0]}; rerun run_rpa with nroots=None.")
     pair_dip = _pair_dipoles(scf_sol, result.pairs)
     mu = result.amplitudes @ pair_dip  # (nroots, 3)
     w = result.excitations

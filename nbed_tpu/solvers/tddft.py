@@ -96,6 +96,13 @@ def _davidson(matvec_block, diag, nroots, max_subspace=120,
             v, av = ritz, a_ritz
         v = np.concatenate([v, add], axis=1)
         av = np.concatenate([av, matvec_block(add.T).T], axis=1)
+
+    import warnings
+
+    warnings.warn(
+        f"TDA Davidson did not converge in {max_iter} iterations "
+        f"(worst residual {float(np.max(rnorm)):.2e} > {conv_tol:.0e}); "
+        "returning the current Ritz values.", RuntimeWarning, stacklevel=2)
     return theta, ritz
 
 
@@ -155,17 +162,48 @@ def run_tddft_tda(scf_sol, nroots: int | None = None,
     f_oo = [co[s].T @ fock[s] @ co[s] for s in range(2)]
     f_vv = [cv[s].T @ fock[s] @ cv[s] for s in range(2)]
 
-    eri_j, eri_k = eng.eri_j, eng.eri_k
+    if eng.density_fitting:
+        # DF J/K of the (non-symmetric) transition density — the exact
+        # O(nao^4) supermatrices never materialise. _df_k_spin's GEMM
+        # chain B_ikP d_kl B_jlP is exactly the TDA exchange contraction
+        # (mu nu|la si) d_nu,si for any d, symmetric or not.
+        from ..scf.engine import _df_k_spin
+
+        b = eng._df_b
+        b_lr = eng._df_b_lr if eng._rsh is not None else None
+
+        def jk_fn(d):
+            j = jnp.einsum("abP,P->ab",
+                           b, jnp.einsum("abP,ab->P", b, d[0] + d[1]))
+            k = jnp.stack([_df_k_spin(b, d[0]), _df_k_spin(b, d[1])])
+            if b_lr is not None:  # fold hyb*K + beta*K_LR as the engine does
+                k_lr = jnp.stack([_df_k_spin(b_lr, d[0]),
+                                  _df_k_spin(b_lr, d[1])])
+                k = eng._xc_meta[1] * k + eng._rsh[0] * k_lr
+            return j, k
+    else:
+        eri_j, eri_k = eng.eri_j, eng.eri_k
+
+        def jk_fn(d):
+            j = (eri_j @ (d[0] + d[1]).reshape(-1)).reshape(n, n)
+            k = (eri_k @ d.reshape(2, -1).T).T.reshape(2, n, n)
+            return j, k
 
     def matvec(x):
         xs = [x[: sizes[0]].reshape(shapes[0]),
               x[sizes[0]:].reshape(shapes[1])]
         d = jnp.stack([co[s] @ xs[s] @ cv[s].T for s in range(2)])
-        j = (eri_j @ (d[0] + d[1]).reshape(-1)).reshape(n, n)
-        k = (eri_k @ d.reshape(2, -1).T).T.reshape(2, n, n)
+        j, k = jk_fn(d)
         v = j[None] - hyb * k
         if xc_fn is not None:
-            _, dv = jax.jvp(lambda dd: xc_fn(dd)[1], (dm0,), (d,))
+            # the XC kernel acts on the scalar density response, whose
+            # AO matrix is the SYMMETRIZED transition density —
+            # _chunk_math's gradient formula (2 * grad-phi D phi) is only
+            # the true grad-rho for symmetric dm, so a raw non-symmetric
+            # tangent would inject a spurious kernel term (verified:
+            # ~6e-3 Ha eigenvalue shifts on water/B3LYP)
+            d_sym = 0.5 * (d + jnp.swapaxes(d, -1, -2))
+            _, dv = jax.jvp(lambda dd: xc_fn(dd)[1], (dm0,), (d_sym,))
             v = v + dv
         outs = [
             co[s].T @ v[s] @ cv[s]

@@ -64,7 +64,8 @@ STAGES = {
     # three cycles at the FULL grid: separates "more cycles" from
     # "grid1 shapes" as the remaining crash trigger
     "ks_stream_c3": dict(density_fitting=True, max_cycle=3, xc="b3lyp"),
-    # full-grid one-cycle with the f32/incremental fast paths disabled
+    # three cycles at the full grid with the f32/incremental fast
+    # paths disabled
     "ks_stream_c3_f64": dict(density_fitting=True, max_cycle=3, xc="b3lyp",
                              incremental_jk="off"),
 }

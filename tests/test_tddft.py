@@ -73,6 +73,29 @@ def test_fxc_jvp_matches_finite_difference(water_molecule):
     assert np.max(np.abs(np.asarray(dv) - fd)) / scale < 1e-5
 
 
+def test_fxc_tangent_is_symmetrized(water_molecule):
+    """A purely antisymmetric AO tangent leaves the density unchanged, so
+    the kernel response must vanish — matvec achieves this by
+    symmetrizing the transition density before the jvp (regression: the
+    raw tangent injected a spurious ~6e-3 Ha term through _chunk_math's
+    symmetric-only grad-rho formula)."""
+    import jax
+    import jax.numpy as jnp
+
+    from nbed_tpu.scf.engine import SCFEngine
+
+    eng = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-10,
+                    dm_conv_tol=1e-8, max_cycle=100)
+    sol = eng.kernel()
+    dm0 = jnp.asarray(sol.make_rdm1())
+    rng = np.random.default_rng(11)
+    t = rng.standard_normal(dm0.shape)
+    anti = jnp.asarray(0.5 * (t - np.swapaxes(t, -1, -2)))
+    sym_part = 0.5 * (anti + jnp.swapaxes(anti, -1, -2))  # == 0
+    _, dv = jax.jvp(lambda d: eng.xc_fn(d)[1], (dm0,), (sym_part,))
+    assert np.max(np.abs(np.asarray(dv))) < 1e-12
+
+
 def test_davidson_matches_dense(water_molecule):
     """Matrix-free block Davidson (small max_subspace to force thick
     restarts) reproduces the dense TDA roots to the solver tolerance."""
