@@ -110,6 +110,10 @@ class NbedConfig(BaseModel):
     # embedded active region (solvers/cis.py) — the number of excitation
     # roots to record under result["cis"] (0 = off)
     run_cis_emb: NonNegativeInt = 0
+    # extension beyond the reference: full RPA/TDHF excited states of the
+    # embedded active region (solvers/cis.run_rpa) — roots recorded under
+    # result["rpa"] (0 = off)
+    run_rpa_emb: NonNegativeInt = 0
 
     mm_coords: list | None = None
     mm_charges: list | None = None

@@ -597,6 +597,20 @@ class NbedDriver:
                 np.array2string(cis.excitations, precision=6),
             )
 
+        if cfg.run_rpa_emb:
+            from .solvers.cis import oscillator_strengths
+
+            rpa = run_emb_rpa(result["scf"])  # full spectrum (X+Y gauge)
+            f_osc, mu_tr = oscillator_strengths(result["scf"], rpa)
+            nroots = int(cfg.run_rpa_emb)
+            result["rpa"] = rpa
+            result["rpa_oscillator_strengths"] = f_osc[:nroots]
+            result["e_rpa"] = result["e_rhf"] + rpa.excitations[:nroots]
+            logger.info(
+                "RPA excitations %s (Ha): %s", projector,
+                np.array2string(rpa.excitations[:nroots], precision=6),
+            )
+
         if cfg.run_vqe_emb:
             from .solvers import run_vqe
 

@@ -116,6 +116,22 @@ def test_polarizability_identity_and_physics(water_uhf):
     assert np.trace(alpha_dyn) / 3.0 > iso
 
 
+def test_driver_rpa_flag(water_filepath):
+    from nbed_tpu import nbed
+
+    driver = nbed(
+        geometry=str(water_filepath), n_active_atoms=1, basis="STO-3G",
+        xc_functional="b3lyp", projector="mu", localization="spade",
+        convergence=1e-8, run_rpa_emb=3,
+    )
+    res = driver.mu
+    assert len(res["e_rpa"]) == 3
+    assert np.all(np.asarray(res["rpa_oscillator_strengths"]) >= -1e-12)
+    assert np.all(np.asarray(res["e_rpa"]) > res["e_rhf"])
+    # full spectrum retained on the result for polarizability use
+    assert res["rpa"].amplitudes.shape[0] == res["rpa"].pairs.shape[0]
+
+
 def test_embedded_rpa(mu_driver):
     cis = run_emb_rpa(mu_driver.mu["scf"], nroots=4)
     assert cis.n_imaginary == 0
