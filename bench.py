@@ -239,7 +239,10 @@ def bench_ccsd(details):
 
     from nbed_tpu.solvers.ccsd import _make_sweep
 
-    no, nv = 12, 60
+    # 10/48: the 12/60 sweep's remote compile overran the stage alarm on
+    # every TPU bench run since round 2 (ccsd_error: timeout(alarm)) —
+    # this size compiles within budget and measures the same f64/f32 ratio
+    no, nv = 10, 48
     m = no + nv
     rng = np.random.default_rng(3)
     w = rng.standard_normal((m, m, m, m)) * 1e-3
@@ -330,7 +333,11 @@ def bench_batch(details):
 
     mol = build_molecule(WATER, "sto-3g")
     base = np.asarray(mol.coords)  # bohr
-    bsz = 16
+    # B=8: the B=16 program's remote compile overran the stage budget on
+    # cold caches (batch_error: timeout(alarm) in two round-3 runs);
+    # half the program size still demonstrates fleet throughput + lane
+    # efficiency and completes reliably over the tunnel
+    bsz = 8
     rng = np.random.default_rng(11)
     batch = base[None] + 0.02 * rng.standard_normal((bsz, *base.shape))
     batch[0] = base
