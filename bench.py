@@ -231,7 +231,7 @@ def bench_pipeline(details):
 def bench_ccsd(details):
     """CCSD amplitude-sweep throughput, f32 vs f64 (the mixed-precision
     design in one number).  Times the jitted while_loop sweep at a
-    representative embedded-active-space size (12 occupied / 60 virtual
+    representative embedded-active-space size (10 occupied / 48 virtual
     spin orbitals) by differencing two fixed cycle counts — the sweep runs
     entirely on device, so the scalar readback is the only barrier."""
     import jax
@@ -274,7 +274,7 @@ def bench_ccsd(details):
 
     with jax.default_matmul_precision("float32"):
         t32 = time_sweep(jnp.float32)
-    _log(f"ccsd: f32 sweep {t32 * 1e3:.1f} ms/iter (no=12, nv=60)")
+    _log(f"ccsd: f32 sweep {t32 * 1e3:.1f} ms/iter (no={no}, nv={nv})")
     t64 = time_sweep(jnp.float64)
     _log(f"ccsd: f64 sweep {t64 * 1e3:.1f} ms/iter")
     details["ccsd_no_nv"] = (no, nv)
