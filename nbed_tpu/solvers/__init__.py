@@ -16,12 +16,12 @@ from .hessian import (dipole_derivative_fd, harmonic_frequencies,
                       hessian_fd, ir_intensities)
 from .thermo import thermochemistry
 from .qse import run_qse, QSEResult
-from .tddft import run_tddft_tda
+from .tddft import run_tddft_rpa, run_tddft_tda
 from .stability import run_stability, rotate_towards, stable_scf, StabilityResult
 from .vqe import run_adapt_vqe, run_vqe, uccsd_excitations, vqe_statevector
 
 __all__ = ["run_fci", "run_ccsd", "run_cis", "run_rpa",
-           "oscillator_strengths", "RPAResult", "run_tddft_tda", "polarizability",
+           "oscillator_strengths", "RPAResult", "run_tddft_tda", "run_tddft_rpa", "polarizability",
            "spin_labels",
            "CISResult", "run_mp2", "run_pt2",
            "run_double_hybrid", "sector_hamiltonian",

@@ -73,6 +73,41 @@ def test_fxc_jvp_matches_finite_difference(water_molecule):
     assert np.max(np.abs(np.asarray(dv) - fd)) / scale < 1e-5
 
 
+def test_full_rpa_tddft_on_hf_matches_run_rpa(water_uhf):
+    """Cross-module identity: on an HF engine, run_tddft_rpa (AO-operator
+    route, +/- density trick) equals run_rpa on the builder integrals."""
+    from nbed_tpu.solvers import run_rpa, run_tddft_rpa
+
+    _, h1, h2 = HamiltonianBuilder(water_uhf, 0).build()
+    ref = run_rpa(h1, h2, _interleaved_occ(water_uhf))
+    got = run_tddft_rpa(water_uhf)
+    assert got.n_imaginary == 0
+    assert np.allclose(got.excitations, ref.excitations, atol=1e-8)
+
+
+def test_full_rpa_tddft_ks(water_molecule):
+    """KS full-RPA TDDFT: real ascending spectrum below the TDA roots,
+    and the polarizability machinery accepts the result."""
+    from nbed_tpu.scf.engine import SCFEngine
+    from nbed_tpu.solvers import polarizability, run_tddft_rpa
+
+    eng = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-10,
+                    dm_conv_tol=1e-8, max_cycle=100)
+    sol = eng.kernel()
+    rpa = run_tddft_rpa(sol)
+    tda = run_tddft_tda(sol)
+    assert rpa.n_imaginary == 0
+    assert np.all(rpa.excitations > 0.05)
+    assert rpa.excitations[0] <= tda.excitations[0] + 1e-12
+    # (X+Y)·(X−Y) = 1 normalisation
+    ov = np.einsum("rp,rp->r", rpa.amplitudes, rpa.xmy)
+    assert np.allclose(ov, 1.0, atol=1e-9)
+
+    alpha = polarizability(sol, rpa)
+    assert np.allclose(alpha, alpha.T, atol=1e-10)
+    assert np.all(np.linalg.eigvalsh(alpha) > 0)
+
+
 def test_fxc_tangent_is_symmetrized(water_molecule):
     """A purely antisymmetric AO tangent leaves the density unchanged, so
     the kernel response must vanish — matvec achieves this by
