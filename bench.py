@@ -412,8 +412,11 @@ def _stage_jw(out, details):
 
 
 def _stage_probe(out, details):
-    """Trivial compile + readback: is the device actually reachable?"""
-    _alarm(360)
+    """Trivial compile + readback: is the device actually reachable?
+    Generous alarm: a degraded (not dead) tunnel has been observed to
+    take ~2 min for this trivial compile+readback; only a truly wedged
+    tunnel should trip the CPU fallback."""
+    _alarm(540)
     import jax
     import jax.numpy as jnp
 
@@ -426,7 +429,7 @@ def _stage_probe(out, details):
 
 
 _STAGES = {
-    "probe": (_stage_probe, 420),
+    "probe": (_stage_probe, 600),
     "fock": (_stage_fock, 1800),
     "pipeline": (_stage_pipeline, 2400),
     "ccsd": (_stage_ccsd, 1400),
