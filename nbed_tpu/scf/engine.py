@@ -224,6 +224,14 @@ class SCFEngine:
     # prologue, SCF loop, final Fock — into ONE compiled program with all
     # big operands passed as jit arguments: "auto" (on TPU, where each
     # eager dispatch pays remote-tunnel latency), "on", "off"
+    dispatch_cycles: Optional[int] = None  # SCF cycles per device dispatch
+    # on the jitted path. None = auto: chunk (K=8) only when the
+    # streaming-XC path runs on TPU — a full-length streaming while_loop
+    # program hard-crashes the v5e worker (measured round 3: 1- and
+    # 3-cycle programs at the full 384k-point pfoa grid run fine, 50-cycle
+    # programs die at any grid size), so the loop is re-dispatched every K
+    # cycles with a host-side convergence check between dispatches. 0
+    # disables chunking; an explicit K forces it for any engine.
 
     def __post_init__(self):
         if self.coords is None:
@@ -607,6 +615,22 @@ class SCFEngine:
         return mode == "on" or (mode == "auto"
                                 and jax.default_backend() == "tpu")
 
+    def _dispatch_chunk(self, total: int) -> Optional[int]:
+        """Cycles per device dispatch on the jitted path (None = single
+        program). Auto mode chunks only the TPU streaming-XC case, whose
+        full-length while_loop program crashes the worker (round 3)."""
+        import jax
+
+        if self.dispatch_cycles is not None:
+            k = int(self.dispatch_cycles)
+            return k if 0 < k < total else None
+        if (jax.default_backend() == "tpu" and self.xc is not None
+                and self._xc_meta[0]
+                and self._xc_pack(jnp.float64)[0] == "streaming"
+                and total > 8):
+            return 8
+        return None
+
     @cached_property
     def _jit_spec(self) -> tuple:
         """Structural cache key for shared jitted programs (geometry enters
@@ -938,23 +962,42 @@ class SCFEngine:
             dm0 = self._sad_guess()
             from_guess = True
         if self._use_jit_kernel:
-            res = self._jitted_kernel(
-                self._kernel_operands,
-                None if v_emb is None else jnp.asarray(v_emb),
-                None if dm0 is None else _spinify(dm0),
-                None if dm_env_occ is None else _spinify(dm_env_occ),
-                None if dm_env_virt is None else _spinify(dm_env_virt),
+            total = int(self.max_cycle if max_cycle is None else max_cycle)
+            chunk = self._dispatch_chunk(total)
+            common = dict(
                 nelec=tuple(int(x) for x in nelec),
                 conv_tol=float(self.conv_tol if conv_tol is None
                                else conv_tol),
                 dm_conv_tol=float(self.dm_conv_tol if dm_conv_tol is None
                                   else dm_conv_tol),
-                max_cycle=int(self.max_cycle if max_cycle is None
-                              else max_cycle),
                 level_shift=float(level_shift),
-                warmup=bool(self.warmup_f32 and (dm0 is None or from_guess)),
             )
-            return self._package(res, nelec, v_emb, dm_env_occ)
+            args = (
+                None if v_emb is None else jnp.asarray(v_emb),
+                None if dm_env_occ is None else _spinify(dm_env_occ),
+                None if dm_env_virt is None else _spinify(dm_env_virt),
+            )
+            warmup = bool(self.warmup_f32 and (dm0 is None or from_guess))
+            dm_cur = None if dm0 is None else _spinify(dm0)
+            if chunk is None:
+                res = self._jitted_kernel(
+                    self._kernel_operands, args[0], dm_cur, args[1], args[2],
+                    max_cycle=total, warmup=warmup, **common)
+                return self._package(res, nelec, v_emb, dm_env_occ)
+            # chunked dispatch: K cycles per device program, convergence
+            # checked on the host between dispatches (see dispatch_cycles)
+            done = 0
+            while True:
+                k = min(chunk, total - done)
+                res = self._jitted_kernel(
+                    self._kernel_operands, args[0], dm_cur, args[1], args[2],
+                    max_cycle=k, warmup=warmup and done == 0, **common)
+                done += max(int(res.n_iter), 1)
+                if bool(res.converged) or done >= total:
+                    break
+                dm_cur = res.dm
+            return self._package(res._replace(n_iter=jnp.asarray(done)),
+                                 nelec, v_emb, dm_env_occ)
         if self.warmup_f32 and (dm0 is None or from_guess):
             f32 = jnp.float32
             ops = self._f32_ops

@@ -114,6 +114,31 @@ def test_jit_kernel_matches_eager(water_molecule, water_uhf, water_uks):
     assert np.isclose(float(vj.exc), float(ve.exc), atol=1e-12)
 
 
+def test_chunked_dispatch_matches_single_program(water_molecule, water_uks):
+    """dispatch_cycles=K re-dispatches the jitted SCF every K cycles with a
+    host-side convergence check (the TPU streaming-XC worker-crash
+    workaround, round 3: full-length streaming while_loop programs kill
+    the v5e worker, 1-8 cycle programs run fine). The chunked run must
+    land on the single-program fixed point, converge, and report the
+    accumulated cycle count."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    ref = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9,
+                    max_cycle=100, jit_kernel="on").kernel()
+    chunked = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9,
+                        max_cycle=100, jit_kernel="on",
+                        dispatch_cycles=4).kernel()
+    assert chunked.converged
+    assert np.isclose(chunked.e_tot, ref.e_tot, atol=1e-9)
+    assert np.isclose(chunked.e_tot, water_uks.e_tot, atol=1e-9)
+
+    # auto mode off-TPU: no chunking (single compiled program)
+    eng = SCFEngine(water_molecule, xc="b3lyp")
+    assert eng._dispatch_chunk(50) is None
+    assert SCFEngine(water_molecule, dispatch_cycles=6)._dispatch_chunk(50) == 6
+    assert SCFEngine(water_molecule, dispatch_cycles=0)._dispatch_chunk(50) is None
+
+
 def test_incremental_polish_reaches_f64_fixed_point(water_molecule,
                                                     water_uhf):
     """The pure-f64 polish loop after the incremental mixed-precision SCF:
