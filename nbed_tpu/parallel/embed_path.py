@@ -54,8 +54,10 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
         n_act_mos: STATIC active-MO count — an int, or a per-spin
             ``(n_alpha, n_beta)`` tuple (open shell). Fix it with one
             host-driver/ACE run, as the reference fixes n_mo_overwrite.
-        xc: environment functional (global hybrids / pure; RSH not wired
-            on this path).
+        xc: environment functional — pure, global-hybrid, or
+            range-separated hybrid (the LR ERI tensor is folded into the
+            exchange supermatrix as ``hyb*K + beta*K_LR``, the engine's
+            convention).
         mu_level_shift: the mu projector shift (reference config default).
         projector: "mu" (level-shift projector in v_emb) or "huzinaga"
             (the −(FDS + SDF) operator inside the jitted SCF loop; the
@@ -72,10 +74,6 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
     from ..dft.xc import _chunk_math, _mask_thresh
 
     terms, hyb, rsh = resolve_functional(xc) if xc else ([], 1.0, None)
-    if rsh is not None:
-        raise NotImplementedError(
-            "range-separated hybrids are not wired on the jittable "
-            "embedding path; use the host driver")
     one_chunk = _chunk_math(terms, _mask_thresh(jnp.float64)) if terms else None
 
     n = mol.nao
@@ -95,6 +93,16 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
         eri = eri_tensor(mol, coords)
         eri_j = eri.reshape(n * n, n * n)
         eri_k = jnp.transpose(eri, (0, 2, 1, 3)).reshape(n * n, n * n)
+        if rsh is not None:
+            # fold the RSH exchange once: hyb*K + beta*K_LR, reported hyb=1
+            # (the engine's convention, scf/engine.py `eri_k`); the
+            # *embedded* HF below keeps the unfolded full-range eri_k.
+            eri_lr = eri_tensor(mol, coords, omega=rsh[1])
+            eri_k_xc = hyb * eri_k + rsh[0] * jnp.transpose(
+                eri_lr, (0, 2, 1, 3)).reshape(n * n, n * n)
+            hyb_xc = 1.0
+        else:
+            eri_k_xc, hyb_xc = eri_k, hyb
         e_nuc = mol.energy_nuc(coords)
 
         if one_chunk is not None:
@@ -110,8 +118,8 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
 
         # ---- global KS (the reference's _global_ks, driver.py:155-191)
         glob = run_scf(
-            hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, xc_fn=xc_fn,
-            hyb=hyb, nelec=n_occ, conv_tol=conv_tol,
+            hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k_xc, xc_fn=xc_fn,
+            hyb=hyb_xc, nelec=n_occ, conv_tol=conv_tol,
             dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
         )
         e_global = glob.e_elec + e_nuc
@@ -137,14 +145,14 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
         # ---- subsystem-DFT decomposition (driver.py:315-431 semantics)
         def veff_parts(dm):
             j = (eri_j @ (dm[0] + dm[1]).reshape(-1)).reshape(n, n)
-            k = (eri_k @ dm.reshape(2, -1).T).T.reshape(2, n, n)
+            k = (eri_k_xc @ dm.reshape(2, -1).T).T.reshape(2, n, n)
             if xc_fn is not None:
                 exc, vxc = xc_fn(dm)
             else:
                 exc, vxc = jnp.asarray(0.0), jnp.zeros_like(dm)
-            v = j[None] + vxc - hyb * k
+            v = j[None] + vxc - hyb_xc * k
             ecoul = 0.5 * jnp.einsum("ij,ji->", j, dm[0] + dm[1])
-            exc = exc - 0.5 * hyb * jnp.einsum("sij,sji->", k, dm)
+            exc = exc - 0.5 * hyb_xc * jnp.einsum("sij,sji->", k, dm)
             e = jnp.einsum("ij,ji->", hcore, dm[0] + dm[1]) + ecoul + exc
             return e, v, exc, j
 

@@ -192,8 +192,11 @@ def make_sharded_df_ks(mol: Molecule, mesh: Mesh, xc: str = "b3lyp",
       padded weights are zero, so both the energy sum and every
       ``d(exc)/d(rho)`` potential weight vanish on pad rows.
 
-    Range-separated hybrids are not wired here (they need a second LR-ERI
-    operand); use the single-device engine for those.
+    Range-separated hybrids (CAM-B3LYP / LC-BLYP) are wired with a second
+    DF factor fitted in the long-range erf(omega*r12)/r12 metric, sharded
+    over the same auxiliary axis; the exchange seen by the SCF is the
+    folded ``hyb*K + beta*K_LR`` (the single-device engine's convention,
+    scf/engine.py), at one extra all-reduce per cycle.
     """
     from ..dft.functionals import resolve_functional
     from ..dft.xc import _chunk_math, _mask_thresh
@@ -201,19 +204,20 @@ def make_sharded_df_ks(mol: Molecule, mesh: Mesh, xc: str = "b3lyp",
     from ..scf.engine import df_b_factor
 
     terms, hyb, rsh = resolve_functional(xc)
-    if rsh is not None:
-        raise NotImplementedError(
-            "range-separated hybrids are not supported on the sharded KS "
-            "path; use the single-device SCFEngine")
 
     c = np.asarray(mol.coords) if coords is None else np.asarray(coords)
     cj = jnp.asarray(c)
     n_model = mesh.shape["model"]
-    b = df_b_factor(mol, c, beta=df_beta)
-    b = np.pad(b, [(0, 0), (0, 0), (0, (-b.shape[2]) % n_model)])
     aux_sharded = NamedSharding(mesh, P(None, None, "model"))
     replicated = NamedSharding(mesh, P())
-    b = jax.device_put(jnp.asarray(b), aux_sharded)
+
+    def _sharded_b(omega=0.0):
+        bb = df_b_factor(mol, c, beta=df_beta, omega=omega)
+        bb = np.pad(bb, [(0, 0), (0, 0), (0, (-bb.shape[2]) % n_model)])
+        return jax.device_put(jnp.asarray(bb), aux_sharded)
+
+    b = _sharded_b()
+    b_lr = None if rsh is None else _sharded_b(omega=rsh[1])
     hcore = jax.device_put(kinetic(mol, cj) + nuclear_attraction(mol, cj),
                            replicated)
     s = jax.device_put(overlap(mol, cj), replicated)
@@ -230,23 +234,45 @@ def make_sharded_df_ks(mol: Molecule, mesh: Mesh, xc: str = "b3lyp",
 
     xc_chunk = _chunk_math(terms, _mask_thresh(ao.dtype))
 
-    def ks_run(hcore, s, b, ao, ao_grad, weights):
+    def _make_jk(b, b_lr):
         def jk_fn(dm):
             d_tot = dm[0] + dm[1]
             rho = jnp.einsum("abP,ab->P", b, d_tot)
             j = jnp.einsum("abP,P->ab", b, rho)
+            k = jnp.stack([_df_k_gemm(b, dm[0]), _df_k_gemm(b, dm[1])])
+            if b_lr is not None:
+                # folded RSH exchange: hyb*K + beta*K_LR, reported as hyb=1
+                k_lr = jnp.stack([_df_k_gemm(b_lr, dm[0]),
+                                  _df_k_gemm(b_lr, dm[1])])
+                k = hyb * k + rsh[0] * k_lr
+            return j, k
 
-            return j, jnp.stack([_df_k_gemm(b, dm[0]),
-                                 _df_k_gemm(b, dm[1])])
+        return jk_fn
 
+    hyb_eff = 1.0 if rsh is not None else hyb
+
+    if rsh is None:
+        def ks_run(hcore, s, b, ao, ao_grad, weights):
+            def xc_fn(dm):
+                return xc_chunk(ao, ao_grad, weights, dm)
+
+            return run_scf(hcore=hcore, s=s, jk_fn=_make_jk(b, None),
+                           xc_fn=xc_fn, hyb=hyb_eff,
+                           nelec=mol.nelec if nelec is None else nelec,
+                           **scf_kwargs)
+
+        return jax.jit(ks_run), (hcore, s, b, ao, ao_grad, weights)
+
+    def ks_run_rsh(hcore, s, b, b_lr, ao, ao_grad, weights):
         def xc_fn(dm):
             return xc_chunk(ao, ao_grad, weights, dm)
 
-        return run_scf(hcore=hcore, s=s, jk_fn=jk_fn, xc_fn=xc_fn, hyb=hyb,
+        return run_scf(hcore=hcore, s=s, jk_fn=_make_jk(b, b_lr),
+                       xc_fn=xc_fn, hyb=hyb_eff,
                        nelec=mol.nelec if nelec is None else nelec,
                        **scf_kwargs)
 
-    return jax.jit(ks_run), (hcore, s, b, ao, ao_grad, weights)
+    return jax.jit(ks_run_rsh), (hcore, s, b, b_lr, ao, ao_grad, weights)
 
 
 def sharded_df_ks(mol: Molecule, mesh: Mesh, xc: str = "b3lyp", coords=None,

@@ -132,6 +132,57 @@ def test_sharded_df_ks_partitions_and_matches(water_molecule, water_uks):
     assert np.isclose(e_tot, eng.kernel().e_tot, atol=1e-8)
 
 
+def test_sharded_df_ks_rsh_matches_engine(water_molecule):
+    """Range-separated hybrid (CAM-B3LYP) on the multi-chip KS path: the
+    LR-metric DF factor is aux-sharded alongside the Coulomb-metric one and
+    the folded ``hyb*K + beta*K_LR`` exchange reproduces the single-device
+    DF engine (same fit, same grid) to well below the DF error."""
+    from nbed_tpu.parallel import make_sharded_df_ks
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mesh = make_mesh(8, batch=1)
+    fn, args = make_sharded_df_ks(water_molecule, mesh, xc="camb3lyp",
+                                  conv_tol=1e-10, dm_conv_tol=1e-8,
+                                  max_cycle=100)
+    hcore, s, b, b_lr, ao, ao_grad, weights = args
+    n = water_molecule.nao
+    n_model = mesh.shape["model"]
+    # both DF factors live aux-sharded on the devices
+    assert {sh.data.shape for sh in b_lr.addressable_shards} \
+        == {(n, n, b_lr.shape[2] // n_model)}
+
+    res = fn(*args)
+    assert bool(res.converged)
+    e_tot = float(res.e_elec) + float(water_molecule.energy_nuc())
+    eng = SCFEngine(water_molecule, xc="camb3lyp", density_fitting=True,
+                    conv_tol=1e-10, dm_conv_tol=1e-8, max_cycle=100)
+    assert np.isclose(e_tot, float(eng.kernel().e_tot), atol=1e-8)
+
+
+def test_jittable_embed_path_rsh(water_molecule):
+    """The one-program embedding path with a range-separated environment
+    functional: the folded-supermatrix global KS matches the supermatrix
+    engine and the subsystem partition identity holds exactly."""
+    import jax.numpy as jnp
+
+    from nbed_tpu.parallel import make_mu_embed_energy
+    from nbed_tpu.scf.engine import SCFEngine
+
+    fn = make_mu_embed_energy(
+        water_molecule, n_active_atoms=1, n_act_mos=4, xc="camb3lyp",
+        conv_tol=1e-10, dm_conv_tol=1e-8, max_cycle=100,
+    )
+    out = fn(jnp.asarray(water_molecule.coords))
+    assert bool(out["converged"])
+    eng = SCFEngine(water_molecule, xc="camb3lyp", conv_tol=1e-10,
+                    dm_conv_tol=1e-8, max_cycle=100)
+    assert np.isclose(float(out["e_global"]), float(eng.kernel().e_tot),
+                      atol=5e-7)
+    assert np.isclose(float(out["e_act"] + out["e_env"] + out["two_e_cross"])
+                      + float(water_molecule.energy_nuc()),
+                      float(out["e_global"]), atol=1e-9)
+
+
 def test_jittable_embed_path_matches_driver(water_molecule, mu_driver):
     """The one-program embedding path (global KS -> SPADE -> subsystem
     decomposition -> mu-embedded HF -> assembly) reproduces the host
