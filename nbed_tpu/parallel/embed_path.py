@@ -29,6 +29,8 @@ reference driver.py:500-538, 981-998):
 with v_emb = mu * S D_env S + (veff[D_tot] - veff[D_act]).
 """
 
+from functools import partial
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -41,11 +43,47 @@ from ..scf.hf import run_scf
 __all__ = ["make_mu_embed_energy", "batched_embedding_energies"]
 
 
+@partial(jax.custom_jvp, nondiff_argnums=(1,))
+def _topk_projector(m, k: int):
+    """Projector onto the top-k eigenspace of symmetric ``m``.
+
+    The SPADE split only needs the active *subspace*, not individual
+    singular vectors — and the subspace projector stays differentiable
+    under internal degeneracies (water: the O 1s core and the
+    out-of-plane lone pair both lie entirely on O, so two singular
+    values are exactly 1 and the plain SVD/eigh jvp divides by a zero
+    gap -> NaN in every forward-mode geometry derivative). The custom
+    tangent keeps only the cross-gap response
+
+        dP = sum_{i in act, a in env} (v_i v_a^T + h.c.)
+             (v_i^T dM v_a) / (lam_i - lam_a),
+
+    which is the exact derivative of the projector and only requires
+    the SPADE gap itself (lam_k > lam_{k+1}) to be open.
+    """
+    _, v = jnp.linalg.eigh(m)
+    vk = v[:, m.shape[-1] - k:]
+    return vk @ vk.T
+
+
+@_topk_projector.defjvp
+def _topk_projector_jvp(k, primals, tangents):
+    (m,), (dm,) = primals, tangents
+    n = m.shape[-1]
+    w, v = jnp.linalg.eigh(m)
+    vk, vr = v[:, n - k:], v[:, : n - k]
+    p = vk @ vk.T
+    denom = w[n - k:][None, :] - w[: n - k][:, None]  # (n-k, k), gap-only
+    g = (vr.T @ dm @ vk) / denom
+    dp_half = vr @ g @ vk.T
+    return p, dp_half + dp_half.T
+
+
 def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
                          xc: str = "b3lyp", mu_level_shift: float = 1e6,
                          conv_tol: float = 1e-9, dm_conv_tol: float = 1e-7,
                          max_cycle: int = 100, grid_level: int = 3,
-                         projector: str = "mu"):
+                         projector: str = "mu", grad_cycles: int = 0):
     """Build the jittable ``energy(coords) -> dict`` embedding program.
 
     Args:
@@ -121,6 +159,7 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
             hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k_xc, xc_fn=xc_fn,
             hyb=hyb_xc, nelec=n_occ, conv_tol=conv_tol,
             dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
+            grad_cycles=grad_cycles,
         )
         e_global = glob.e_elec + e_nuc
 
@@ -129,13 +168,15 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
         s_half = (v_s * jnp.sqrt(w_s)[None, :]) @ v_s.T
 
         def spade(c_spin, n_o, k):
+            # top-k right-singular subspace of the active-AO rows == top-k
+            # eigenspace of A^T A; the projector form keeps geometry
+            # derivatives finite under intra-block sigma degeneracies
+            # (see _topk_projector)
             occ_c = c_spin[:, :n_o]
-            _, _, vt = jnp.linalg.svd(
-                (s_half @ occ_c)[:n_act_aos, :], full_matrices=True
-            )
-            c_loc = occ_c @ vt.T
-            c_act, c_env = c_loc[:, :k], c_loc[:, k:]
-            return c_act @ c_act.T, c_env @ c_env.T
+            a = (s_half @ occ_c)[:n_act_aos, :]
+            p = _topk_projector(a.T @ a, k)
+            dm_a = occ_c @ p @ occ_c.T
+            return dm_a, occ_c @ occ_c.T - dm_a
 
         parts = [spade(glob.mo_coeff[sp], n_occ[sp], n_act[sp])
                  for sp in range(2)]
@@ -174,6 +215,7 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
                 hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, nelec=n_act,
                 v_emb=v_emb, dm0=dm_act, conv_tol=conv_tol,
                 dm_conv_tol=dm_conv_tol, max_cycle=max_cycle,
+                grad_cycles=grad_cycles,
             )
             v_corr = v_emb
         else:
@@ -181,7 +223,7 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
                 hcore=hcore, s=s, eri_j=eri_j, eri_k=eri_k, nelec=n_act,
                 v_emb=v_pot, dm_env_occ=dm_env, dm0=dm_act,
                 conv_tol=conv_tol, dm_conv_tol=dm_conv_tol,
-                max_cycle=max_cycle,
+                max_cycle=max_cycle, grad_cycles=grad_cycles,
             )
             # freeze the converged Huzinaga operator into v_emb for the
             # correction, as the driver does (reference driver.py:595-597)

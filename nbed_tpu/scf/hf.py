@@ -131,6 +131,7 @@ def run_scf(
     use_diis: bool = True,
     level_shift: float = 0.0,  # virtual-orbital level shift (Ha)
     rohf: bool = False,  # restricted-open-shell: shared spatial orbitals
+    grad_cycles: int = 0,  # extra post-convergence cycles for jvp tangents
 ) -> SCFResult:
     """Run SCF to convergence and return an :class:`SCFResult`.
 
@@ -281,6 +282,13 @@ def run_scf(
         cut = jnp.max(jnp.abs(ew)) * max(1e-12, (m + 1) * float(jnp.finfo(b.dtype).eps))
         inv_ew = jnp.where(jnp.abs(ew) > cut, 1.0 / ew, 0.0)
         coef = ((ev * inv_ew[None, :]) @ (ev.T @ rhs))[:m] * filled
+        # stop_gradient: the mixing weights carry no derivative at the
+        # fixed point (the history Focks coincide and the coefficients sum
+        # to 1, so sum_h dcoef_h F_h = F d(1) = 0), while differentiating
+        # the eigh of the padded B matrix — whose empty ring-buffer slots
+        # give exactly degenerate eigenvalues — NaNs every jvp through the
+        # loop (forward-mode geometry derivatives, parallel/embed_path).
+        coef = jax.lax.stop_gradient(coef)
         return jnp.einsum("h,hsij->sij", coef, hist_f)
 
     def cond(carry):
@@ -291,9 +299,13 @@ def run_scf(
     use_inc = jk_fn_fast is not None
     use_xc_fast = xc_fn_fast is not None and xc_fn is not None
 
-    def make_step(inc: bool, xcfast: bool):
+    def make_step(inc: bool, xcfast: bool, diis: bool | None = None):
         """Build one SCF step closure; ``inc=False, xcfast=False`` is the
-        pure full-precision step used by the polish loop below."""
+        pure full-precision step used by the polish loop below. ``diis``
+        overrides the run-level ``use_diis`` (the tangent-polish cycles run
+        DIIS-free so the forward-mode tangents follow the plain Roothaan
+        contraction instead of re-mixing stale history-Fock tangents)."""
+        step_diis = use_diis if diis is None else diis
 
         def step(carry):
             dm = carry["dm"]
@@ -337,7 +349,7 @@ def run_scf(
             hist_f = carry["hist_f"].at[slot].set(f)
             hist_e = carry["hist_e"].at[slot].set(err)
             nfill = jnp.minimum(carry["nfill"] + 1, m)
-            if use_diis:
+            if step_diis:
                 f_diis = diis_extrapolate(hist_f, hist_e, nfill)
                 f_use = jnp.where(carry["cycle"] > 0, f_diis, f)
             else:
@@ -406,6 +418,18 @@ def run_scf(
         out2 = jax.lax.while_loop(cond, polish, carry1)
         out2["cycle"] = out["cycle"] + out2["cycle"]
         out = out2
+
+    if grad_cycles:
+        # Tangent polish for forward-mode differentiation: the while_loop
+        # stops when the PRIMAL converges, but jvp tangents follow the same
+        # contraction one step behind — the returned density's tangent can
+        # sit ~1e-5 off the implicit-function derivative (first-order
+        # visible in any non-stationary consumer, e.g. the SPADE split or
+        # mu*S*D_env*S in parallel/embed_path). A fixed number of extra
+        # full-precision cycles is a primal no-op on a converged density
+        # and lets the tangents settle at the same geometric rate.
+        extra = make_step(False, False, diis=False)
+        out = jax.lax.fori_loop(0, grad_cycles, lambda i, c_: extra(c_), out)
 
     # final consistent energy/Fock for the converged density
     f_fin, huz_fin, e_fin = fock_and_energy(out["dm"])
