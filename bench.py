@@ -1,38 +1,43 @@
 """Benchmarks: real-pipeline wall time + Fock throughput + JW terms/sec.
 
-Prints ONE JSON line with the headline Fock-build metric and the
-real-pipeline numbers the BASELINE.md targets track:
+Prints the headline JSON line CUMULATIVELY — once after every completed
+stage — so a harness kill at any point still leaves the latest complete
+numbers on stdout (the driver keeps the last parsed line):
 
   {"metric": "fock_build_gflops", "value": N, "unit": "GFLOP/s",
    "vs_baseline": M, "embed_pipeline_wall_s": W, "embed_pipeline_warm_s": W2,
-   "embedded_scf_wall_s": S, "jw_terms_per_s": T, "jw_terms": K}
+   "pipeline_speedup_warm": R, "pfoa_cycle_speedup": R2, ...}
 
 - fock_build_gflops: jitted on-device f32 J/K supermatrix build at nao=128
-  (1 GB operand, HBM-bound — the design's TPU hot path: the incremental
-  mixed-precision SCF contracts density changes in f32 and pays emulated
-  f64 only on periodic rebases).  vs_baseline is the measured speedup over
-  the same contraction in single-thread f64 numpy on the host CPU (the
-  reference's PySCF-CPU Fock path analogue); the emulated-f64 device cost
-  is measured separately at nao=64 (details).
+  (1 GB operand, HBM-bound — the design's TPU hot path).  vs_baseline is
+  the measured speedup over the same contraction in single-thread f64
+  numpy on the host CPU (the reference's PySCF-CPU Fock path analogue).
 - embed_pipeline_wall_s / _warm_s: the full reference-parity water pipeline
-  (`nbed(... projector='mu', CCSD+FCI)`), cold (includes jit compiles; the
-  persistent compile cache makes this the steady state for repeated runs)
-  and warm (second driver in-process: compile-cache hits only).
-- embedded_scf_wall_s: the mu-embedded SCF stage from the driver's stage
-  timers.
-- jw_terms_per_s: Jordan-Wigner term generation on the full-system water
-  Hamiltonian (qubit-Hamiltonian terms/sec is a BASELINE.md tracked metric).
+  (`nbed(... projector='mu', CCSD+FCI)`), cold and warm.
+- pipeline_speedup_warm: warm pipeline, CPU backend / device backend —
+  the BASELINE.md north-star ratio at water scale (dispatch-bound).
+- pfoa_cycle_speedup: warm per-SCF-cycle time ratio (CPU / device) for the
+  production-representative DF-UKS Fock+XC+diag cycle at pfoa scale
+  (126 AOs, B3LYP, level-3 grid) — the north-star ratio where the GEMMs
+  dominate.  Both sides run the identical mixed-precision incremental
+  program (`incremental_jk="on"`, `jit_kernel="on"`) from the same SAD
+  guess; per-cycle time comes from differencing two fixed cycle counts,
+  which cancels the prologue (guess, grid, DF factor, compile).
+- jw_terms_per_s: Jordan-Wigner term generation throughput.
 
-Details land in bench_details.json.  Set NBED_BENCH_SKIP_PIPELINE=1 to skip
-the pipeline stage (e.g. on a cold remote tunnel).
+Budgeting: the WHOLE benchmark keeps itself under a total wall budget
+(env NBED_BENCH_TOTAL_BUDGET, default 900 s).  Each stage runs in its own
+subprocess with timeout = min(stage cap, remaining budget); stages that no
+longer fit are skipped and recorded as ``<stage>_error: "skipped(budget)"``
+in bench_details.json.  Stage order puts the north-star metrics first so
+they survive any external kill.
 
 Robustness: every stage runs in its own SUBPROCESS with a hard timeout.
 SIGALRM cannot interrupt a native XLA wait (a wedged remote-compile tunnel
-hangs the process forever and the alarm only fires after the native call
-returns), so in-process guards are not enough — a stuck tunnel must not
-cost the whole benchmark.  A preflight probe checks the device is actually
-reachable; if not, the stages fall back to CPU and the JSON line says so
-(``backend: cpu-fallback``) rather than reporting nothing.
+hangs the process forever), so in-process guards are not enough.  A
+preflight probe checks the device is actually reachable; if not, the
+stages fall back to CPU and the JSON line says so (``backend:
+cpu-fallback``) rather than reporting nothing.
 """
 
 import json
@@ -51,6 +56,9 @@ WATER = (
     "H   0.0000  -0.754  -0.459\n"
 )
 
+PFOA_XYZ = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "tests", "molecules", "pfoa.xyz")
+
 
 class _Timeout(Exception):
     pass
@@ -61,7 +69,7 @@ def _alarm(seconds):
         raise _Timeout()
 
     signal.signal(signal.SIGALRM, handler)
-    signal.alarm(seconds)
+    signal.alarm(max(int(seconds), 1))
 
 
 def _log(msg):
@@ -228,6 +236,55 @@ def bench_pipeline(details):
     return cold, warm, scf_wall
 
 
+def bench_pfoa(details):
+    """Warm per-SCF-cycle time at pfoa scale (126 AOs, DF-UKS/B3LYP).
+
+    Runs the production TPU program shape — fused jitted kernel,
+    incremental f32 Fock with periodic f64 rebase, table XC — pinned ON
+    for both backends so the CPU lane times the identical algorithm.
+    conv_tol=0 keeps the while_loop running for exactly ``max_cycle``
+    cycles (main loop + equal-length f64 polish: 2*max_cycle Fock builds);
+    differencing two cycle counts cancels the prologue (SAD guess, grid
+    construction, DF factor, compiles, final Fock).  The resulting
+    per-cycle number is the steady-state cost of the BASELINE.md
+    "embedded-SCF wall-time" metric's dominant term at a scale where the
+    GEMMs (not dispatch latency) dominate.
+    """
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule(PFOA_XYZ, "sto-3g")
+    eng = SCFEngine(
+        mol, xc="b3lyp", density_fitting=True,
+        incremental_jk="on", jit_kernel="on", warmup_f32=False,
+        init_guess="sad", max_cycle=100,
+    )
+    dm0 = eng._sad_guess()
+    n_lo, n_hi = 2, 8
+
+    def run(n):
+        res = eng.kernel(dm0=dm0, conv_tol=0.0, dm_conv_tol=0.0, max_cycle=n)
+        return res.e_tot
+
+    _log(f"pfoa: nao={mol.nao}; compiling {n_lo}- and {n_hi}-cycle programs")
+    for n in (n_lo, n_hi):  # compile + warm
+        e_last = run(n)
+    t = {}
+    for n in (n_lo, n_hi):
+        t0 = time.perf_counter()
+        e_last = run(n)
+        t[n] = time.perf_counter() - t0
+    # 2x: the incremental path runs max_cycle coarse + max_cycle polish
+    per_cycle = max((t[n_hi] - t[n_lo]) / (n_hi - n_lo) / 2.0, 1e-9)
+    _log(f"pfoa: {per_cycle * 1e3:.1f} ms/cycle (warm), "
+         f"e_tot@{n_hi}cyc={e_last:.8f}")
+    details["pfoa_nao"] = int(mol.nao)
+    details["pfoa_cycle_s"] = per_cycle
+    details["pfoa_e_tot_fixed_cycles"] = float(e_last)
+    details["pfoa_wall_lo_hi_s"] = (round(t[n_lo], 3), round(t[n_hi], 3))
+    return per_cycle, float(e_last)
+
+
 def bench_ccsd(details):
     """CCSD amplitude-sweep throughput, f32 vs f64 (the mixed-precision
     design in one number).  Times the jitted while_loop sweep at a
@@ -324,7 +381,7 @@ def bench_jw(details):
 def bench_batch(details):
     """Conformer-fleet throughput: vmapped HF over a geometry batch (one
     compiled program, the data-parallel scale lever — BASELINE config #5).
-    Times the warm B=16 and B=1 programs; the interesting numbers are
+    Times the warm B=8 and B=1 programs; the interesting numbers are
     conformers/sec and the per-conformer speedup the batching buys."""
     import jax.numpy as jnp
 
@@ -372,22 +429,17 @@ def bench_batch(details):
 
 
 def _stage_batch(out, details):
-    _alarm(1500)
     cps = bench_batch(details)
     out["conformers_per_s"] = round(cps, 2)
 
 
 def _stage_fock(out, details):
-    # generous in-stage guard: the remote tunnel's first post-compile
-    # readback can stall ~8 min cold (cached afterwards)
-    _alarm(1500)
     gflops, speedup = bench_fock(details)
     out["value"] = round(gflops, 3)
     out["vs_baseline"] = round(speedup, 3)
 
 
 def _stage_pipeline(out, details):
-    _alarm(2100)
     _log("pipeline: running embed() cold")
     cold, warm, scf_wall = bench_pipeline(details)
     out["embed_pipeline_wall_s"] = round(cold, 3)
@@ -396,14 +448,18 @@ def _stage_pipeline(out, details):
         out["embedded_scf_wall_s"] = round(scf_wall, 3)
 
 
+def _stage_pfoa(out, details):
+    per_cycle, e_tot = bench_pfoa(details)
+    out["pfoa_scf_cycle_s"] = round(per_cycle, 4)
+    out["pfoa_e_tot_fixed_cycles"] = round(e_tot, 9)
+
+
 def _stage_ccsd(out, details):
-    _alarm(1100)
     ratio = bench_ccsd(details)
     out["ccsd_f64_over_f32"] = round(ratio, 2)
 
 
 def _stage_jw(out, details):
-    _alarm(500)
     n_terms, terms_per_s = bench_jw(details)
     out["jw_terms"] = int(n_terms)
     out["jw_terms_per_s"] = round(terms_per_s, 1)
@@ -412,11 +468,7 @@ def _stage_jw(out, details):
 
 
 def _stage_probe(out, details):
-    """Trivial compile + readback: is the device actually reachable?
-    Generous alarm: a degraded (not dead) tunnel has been observed to
-    take ~2 min for this trivial compile+readback; only a truly wedged
-    tunnel should trip the CPU fallback."""
-    _alarm(540)
+    """Trivial compile + readback: is the device actually reachable?"""
     import jax
     import jax.numpy as jnp
 
@@ -428,13 +480,16 @@ def _stage_probe(out, details):
     out["backend"] = jax.default_backend()
 
 
+# stage -> (fn, cap seconds).  The cap is the per-stage worst case; the
+# actual subprocess timeout is min(cap, remaining total budget).
 _STAGES = {
-    "probe": (_stage_probe, 600),
-    "fock": (_stage_fock, 1800),
-    "pipeline": (_stage_pipeline, 2400),
-    "ccsd": (_stage_ccsd, 1400),
-    "jw": (_stage_jw, 700),
-    "batch": (_stage_batch, 1700),
+    "probe": (_stage_probe, 240),
+    "fock": (_stage_fock, 420),
+    "pipeline": (_stage_pipeline, 480),
+    "pfoa": (_stage_pfoa, 480),
+    "ccsd": (_stage_ccsd, 300),
+    "jw": (_stage_jw, 240),
+    "batch": (_stage_batch, 300),
 }
 
 _MARK = "##BENCH_STAGE_RESULT## "
@@ -445,6 +500,11 @@ def _run_stage_inprocess(stage):
     import nbed_tpu  # noqa: F401 — applies package config (jax_enable_x64)
 
     fn, _ = _STAGES[stage]
+    # in-process alarm just under the parent's hard subprocess timeout, so
+    # a python-interruptible stall still reports partial details
+    budget = float(os.environ.get("NBED_BENCH_STAGE_BUDGET", "0"))
+    if budget > 0:
+        _alarm(budget - 10)
     out, details = {}, {}
     try:
         fn(out, details)
@@ -459,19 +519,20 @@ def _run_stage_inprocess(stage):
                               "details": details}), flush=True)
 
 
-def _run_stage_subprocess(stage, env=None):
+def _run_stage_subprocess(stage, env, timeout):
     """Hard-bounded stage run; survives native-wait wedges the in-process
     SIGALRM guard cannot interrupt."""
-    _, budget = _STAGES[stage]
+    env = dict(env)
+    env["NBED_BENCH_STAGE_BUDGET"] = str(int(timeout))
     cmd = [sys.executable, os.path.abspath(__file__), "--stage", stage]
     try:
         proc = subprocess.run(
             cmd, stdout=subprocess.PIPE, stderr=None,
-            timeout=budget, env=env, text=True,
+            timeout=timeout, env=env, text=True,
         )
     except subprocess.TimeoutExpired:
-        _log(f"{stage}: KILLED after {budget}s (hard timeout)")
-        return {"status": f"timeout({budget}s, killed)", "out": {},
+        _log(f"{stage}: KILLED after {timeout:.0f}s (hard timeout)")
+        return {"status": f"timeout({timeout:.0f}s, killed)", "out": {},
                 "details": {}}
     for line in reversed(proc.stdout.splitlines()):
         if line.startswith(_MARK):
@@ -480,76 +541,112 @@ def _run_stage_subprocess(stage, env=None):
             "details": {}}
 
 
+def _cpu_env():
+    """Environment for a fully local XLA:CPU stage (the in-image stand-in
+    for the reference's PySCF-CPU baseline: identical algorithms, CPU
+    backend), bypassing the axon sitecustomize + remote-compile helper."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
+    env["PYTHONPATH"] = ""
+    env.setdefault("NBED_TPU_JAX_CACHE",
+                   os.path.expanduser("~/.cache/nbed_tpu_jax_cpu"))
+    return env
+
+
 def main():
+    t_start = time.monotonic()
+    total_budget = float(os.environ.get("NBED_BENCH_TOTAL_BUDGET", "900"))
     out = {"metric": "fock_build_gflops", "unit": "GFLOP/s",
            "value": 0.0, "vs_baseline": 0.0}
     details = {}
 
-    env = dict(os.environ)
-    probe = _run_stage_subprocess("probe", env=env)
+    def remaining():
+        return total_budget - (time.monotonic() - t_start)
+
+    def emit():
+        # cumulative headline after every stage: an external kill at any
+        # point keeps everything completed so far (driver parses last line)
+        print(json.dumps(out), flush=True)
+        try:
+            with open("bench_details.json", "w") as f:
+                json.dump(details, f, indent=2)
+        except OSError:
+            pass
+
+    dev_env = dict(os.environ)
+    probe = _run_stage_subprocess("probe", dev_env,
+                                  min(_STAGES["probe"][1], remaining()))
     details["probe"] = probe["status"]
     if probe["status"] != "ok":
         # wedged/unreachable tunnel: fall back to CPU so the benchmark
         # still reports real (if slower) numbers, honestly labeled
         _log(f"probe failed ({probe['status']}); falling back to CPU")
-        env["JAX_PLATFORMS"] = "cpu"
-        # fully local compiles: bypass the axon sitecustomize + helper
-        env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
-        env["PYTHONPATH"] = ""
+        dev_env = _cpu_env()
         out["backend"] = "cpu-fallback"
     else:
         out["backend"] = probe["out"].get("backend", "unknown")
         details["device"] = probe["out"].get("device")
+    emit()
 
-    stages = ["fock", "pipeline", "ccsd", "jw", "batch"]
+    # (stage key, run label, env, out-key remap) in north-star-first order:
+    # fock + pipeline + its CPU lane (speedup) + pfoa + its CPU lane come
+    # before the secondary throughput stages.
+    cpu = _cpu_env()
+    plan = [
+        ("fock", "fock", dev_env, None),
+        ("pipeline", "pipeline", dev_env, None),
+        ("pipeline", "pipeline_cpu", cpu, "cpu"),
+        ("pfoa", "pfoa", dev_env, None),
+        ("pfoa", "pfoa_cpu", cpu, "cpu"),
+        ("jw", "jw", cpu, None),  # host/native-engine metric
+        ("ccsd", "ccsd", dev_env, None),
+        ("batch", "batch", dev_env, None),
+    ]
     if os.environ.get("NBED_BENCH_SKIP_PIPELINE"):
-        stages.remove("pipeline")
-    cpu_stage_env = dict(os.environ)
-    cpu_stage_env["JAX_PLATFORMS"] = "cpu"
-    cpu_stage_env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
-    cpu_stage_env["PYTHONPATH"] = ""
-    cpu_stage_env.setdefault(
-        "NBED_TPU_JAX_CACHE", os.path.expanduser("~/.cache/nbed_tpu_jax_cpu"))
-    for stage in stages:
-        # JW throughput is a host/native-engine metric; its in-stage SCF
-        # over the tunnel occasionally stalled past the alarm (round 3)
-        stage_env = cpu_stage_env if stage == "jw" else env
-        res = _run_stage_subprocess(stage, env=stage_env)
+        plan = [p for p in plan if p[0] != "pipeline"]
+    if out["backend"] == "cpu-fallback":
+        # device lane IS the cpu lane: skip the duplicate cpu runs
+        plan = [p for p in plan if p[3] != "cpu"]
+
+    for stage, label, env, mode in plan:
+        cap = _STAGES[stage][1]
+        left = remaining() - 15.0  # reserve for the final emit
+        if left < 60.0:
+            _log(f"{label}: skipped (budget: {left:.0f}s left)")
+            details[f"{label}_error"] = "skipped(budget)"
+            emit()
+            continue
+        res = _run_stage_subprocess(stage, env, min(cap, left))
         if res["status"] != "ok":
-            details[f"{stage}_error"] = res["status"]
-        out.update(res["out"])
-        details.update(res["details"])
-
-    # same-config CPU-backend pipeline: the in-image stand-in for the
-    # reference's PySCF-CPU baseline (BASELINE.md north star is the
-    # device/CPU pipeline ratio; no PySCF in this image, and our CPU
-    # backend runs the identical algorithms through XLA:CPU)
-    if ("pipeline" in stages and out.get("backend")
-            not in (None, "cpu", "cpu-fallback")
-            and not os.environ.get("NBED_BENCH_SKIP_CPU_PIPELINE")):
-        cpu_env = dict(os.environ)
-        cpu_env["JAX_PLATFORMS"] = "cpu"
-        cpu_env["PALLAS_AXON_REMOTE_COMPILE"] = "0"
-        cpu_env["PYTHONPATH"] = ""
-        cpu_env.setdefault(
-            "NBED_TPU_JAX_CACHE",
-            os.path.expanduser("~/.cache/nbed_tpu_jax_cpu"),
-        )
-        res = _run_stage_subprocess("pipeline", env=cpu_env)
-        if res["status"] == "ok":
-            cpu_warm = res["out"].get("embed_pipeline_warm_s")
-            out["embed_pipeline_cpu_warm_s"] = cpu_warm
-            tpu_warm = out.get("embed_pipeline_warm_s")
-            if cpu_warm and tpu_warm:
-                out["pipeline_speedup_warm"] = round(cpu_warm / tpu_warm, 2)
-            details["pipeline_cpu_stage_timings_s"] = \
-                res["details"].get("pipeline_stage_timings_s")
+            details[f"{label}_error"] = res["status"]
+        if mode == "cpu":
+            # CPU-lane results land under *_cpu keys + the speedup ratios
+            details[f"{label}_details"] = res["details"]
+            if stage == "pipeline" and res["status"] == "ok":
+                cpu_warm = res["out"].get("embed_pipeline_warm_s")
+                out["embed_pipeline_cpu_warm_s"] = cpu_warm
+                tpu_warm = out.get("embed_pipeline_warm_s")
+                if cpu_warm and tpu_warm:
+                    out["pipeline_speedup_warm"] = round(
+                        cpu_warm / tpu_warm, 2)
+            elif stage == "pfoa" and res["status"] == "ok":
+                cpu_cyc = res["out"].get("pfoa_scf_cycle_s")
+                out["pfoa_cpu_scf_cycle_s"] = cpu_cyc
+                dev_cyc = out.get("pfoa_scf_cycle_s")
+                if cpu_cyc and dev_cyc:
+                    out["pfoa_cycle_speedup"] = round(cpu_cyc / dev_cyc, 2)
+                e_dev = out.get("pfoa_e_tot_fixed_cycles")
+                e_cpu = res["out"].get("pfoa_e_tot_fixed_cycles")
+                if e_dev is not None and e_cpu is not None:
+                    details["pfoa_backend_e_agreement_ha"] = abs(e_dev - e_cpu)
         else:
-            details["pipeline_cpu_error"] = res["status"]
+            out.update(res["out"])
+            details.update(res["details"])
+        emit()
 
-    print(json.dumps(out), flush=True)
-    with open("bench_details.json", "w") as f:
-        json.dump(details, f, indent=2)
+    details["total_wall_s"] = round(time.monotonic() - t_start, 1)
+    emit()
 
 
 if __name__ == "__main__":

@@ -22,6 +22,7 @@ from pydantic import (
     PositiveFloat,
     PositiveInt,
     TypeAdapter,
+    field_validator,
 )
 
 logger = logging.getLogger(__name__)
@@ -95,6 +96,11 @@ class NbedConfig(BaseModel):
     charge: NonNegativeInt = Field(default=0)
     spin: NonNegativeInt = Field(default=0)
     unit: str = "angstrom"
+    # accepted for schema compatibility; only the default (False) is
+    # supported — see the validator below.  The reference forwards this to
+    # gto.Mole (reference driver.py:96-104); point-group symmetry adds no
+    # leverage to the dense TPU kernels, so True is REJECTED rather than
+    # silently ignored.
     symmetry: bool = False
 
     savefile: FilePath | None = None
@@ -146,9 +152,23 @@ class NbedConfig(BaseModel):
     # (the "second_quantised" output itself is mapping-agnostic)
     qubit_mapping: Literal["jw", "bk", "parity"] = "jw"
 
+    # consumed: scales the engine's chunked-intermediate memory knobs
+    # (SCFEngine.max_memory_mb — DF-exchange chunk, XC table/stream switch)
     max_ram_memory: PositiveInt = 4000
     max_hf_cycles: PositiveInt = Field(default=50)
     max_dft_cycles: PositiveInt = Field(default=50)
+
+    @field_validator("symmetry")
+    @classmethod
+    def _reject_symmetry(cls, v: bool) -> bool:
+        if v:
+            raise ValueError(
+                "symmetry=True is not supported: point-group symmetry is a "
+                "PySCF Mole feature the TPU backend does not use (dense "
+                "kernels gain nothing from it). Remove the flag or set "
+                "symmetry=false."
+            )
+        return v
 
 
 def overwrite_config_kwargs(config: NbedConfig, **config_kwargs) -> NbedConfig:

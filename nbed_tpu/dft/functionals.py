@@ -10,6 +10,8 @@ parametrisation (as in PySCF >= 2.3, which the reference pins —
 reference pyproject requires pyscf >= 2.3); 'b3lyp5' uses VWN5.
 """
 
+import re
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -409,6 +411,219 @@ tpss_x.needs_tau = True
 tpss_c.needs_tau = True
 
 
+# ------------------------------------------------------------------- SCAN
+
+def _scan_interp(alpha, c1, c2, d):
+    """SCAN's alpha-interpolation f(alpha): exp(-c1 a/(1-a)) below a=1,
+    -d exp(c2/(1-a)) above; continuous (both branches -> 0 at a=1).
+    Double-where clamps keep the inactive branch's autodiff finite."""
+    a_lt = jnp.minimum(alpha, 1.0 - 1e-9)
+    a_gt = jnp.maximum(alpha, 1.0 + 1e-9)
+    f_lt = jnp.exp(-c1 * a_lt / (1.0 - a_lt))
+    f_gt = -d * jnp.exp(c2 / (1.0 - a_gt))
+    return jnp.where(alpha < 1.0, f_lt, f_gt)
+
+
+def _scan_fx(r2, g2, t2):
+    """SCAN exchange enhancement for an unpolarized density
+    (Sun, Ruzsinszky & Perdew, PRL 115, 036402 (2015), Eqs. 1-2 and the
+    supplemental parametrisation)."""
+    k1, c1x, c2x, dx = 0.065, 0.667, 0.8, 1.24
+    mu_ak = 10.0 / 81.0
+    b2 = np.sqrt(5913.0 / 405000.0)
+    b1 = (511.0 / 13500.0) / (2.0 * b2)
+    b3 = 0.5
+    b4 = mu_ak**2 / k1 - 1606.0 / 18225.0 - b1**2
+    a1 = 4.9479
+    h0x = 1.174
+
+    r2 = _safe(r2)
+    g2 = jnp.maximum(g2, 0.0)
+    u = g2 / (r2 * r2)  # range-split s^2 (cf. pbe_x TPU note)
+    p = u * r2 ** (-2.0 / 3.0) / (4.0 * (3.0 * np.pi**2) ** (2.0 / 3.0))
+    p = jnp.clip(p, 0.0, 1.0e4)
+    tau_w = 0.125 * u * r2
+    tau_unif = 0.3 * (3.0 * np.pi**2) ** (2.0 / 3.0) * r2 ** (5.0 / 3.0)
+    t2 = jnp.maximum(t2, tau_w)
+    # guard only exact zero: r2 is _safe-floored so tau_unif >= ~3e-16;
+    # an absolute _tiny() floor here (1e-9 on TPU) would swamp tau_unif at
+    # low density and push alpha (hence F_x) off the UEG limit
+    alpha = jnp.clip((t2 - tau_w) / jnp.maximum(tau_unif, 1e-30), 0.0, 1e6)
+
+    one_ma = 1.0 - alpha
+    x = (mu_ak * p
+         * (1.0 + (b4 * p / mu_ak) * jnp.exp(-jnp.abs(b4) * p / mu_ak))
+         + (b1 * p + b2 * one_ma * jnp.exp(-b3 * one_ma * one_ma)) ** 2)
+    h1x = 1.0 + k1 - k1 / (1.0 + x / k1)
+    gx = 1.0 - jnp.exp(-a1 / jnp.sqrt(jnp.sqrt(jnp.maximum(p, _tiny() ** 2))))
+    fx_a = _scan_interp(alpha, c1x, c2x, dx)
+    return (h1x + fx_a * (h0x - h1x)) * gx
+
+
+def scan_x(ra, rb, gaa, gab, gbb, ta, tb):
+    """SCAN meta-GGA exchange (PRL 115, 036402 (2015)), spin-scaled like
+    :func:`tpss_x`: E_x[ra,rb] = (E_x[2 ra] + E_x[2 rb])/2."""
+
+    def per_spin(r, g, t):
+        r2 = 2.0 * _safe(r)
+        kf = (3.0 * np.pi**2 * r2) ** (1.0 / 3.0)
+        lda = -(3.0 / (4.0 * np.pi)) * kf * r2
+        return 0.5 * lda * _scan_fx(r2, 4.0 * jnp.maximum(g, 0.0), 2.0 * t)
+
+    return per_spin(ra, gaa, ta) + per_spin(rb, gbb, tb)
+
+
+def scan_c(ra, rb, gaa, gab, gbb, ta, tb):
+    """SCAN meta-GGA correlation (PRL 115, 036402 (2015), supplemental):
+    eps_c = eps_c1 + f_c(alpha) (eps_c0 - eps_c1) with the single-orbital
+    limit eps_c0 and a revised-PBE eps_c1 (rs-dependent beta, w1-resummed
+    H1)."""
+    b1c, b2c, b3c = 0.0285764, 0.0889, 0.125541
+    c1c, c2c, dc = 0.64, 1.5, 0.7
+    chi_inf = 0.128026
+    gamma = 0.031091
+
+    # floor the TOTAL density only: flooring each spin separately acts as
+    # a spurious opposite-spin density (tau_W < tau, zeta < 1) that breaks
+    # the exact one-electron limit by ~1e-9 integrated
+    rho = _safe(ra + rb)
+    zeta = jnp.clip((ra - rb) / rho, -1.0 + 1e-15, 1.0 - 1e-15)
+    rs = (3.0 / (4.0 * np.pi * rho)) ** (1.0 / 3.0)
+    gnorm2 = jnp.maximum(gaa + 2.0 * gab + gbb, 0.0)
+    u = gnorm2 / (rho * rho)  # range-split |grad n|^2 / n^2
+    s2 = u * rho ** (-2.0 / 3.0) / (4.0 * (3.0 * np.pi**2) ** (2.0 / 3.0))
+    s2 = jnp.clip(s2, 0.0, 1.0e6)
+
+    # alpha with the spin factor d_s(zeta)
+    tau = jnp.maximum(ta + tb, 0.0)
+    tau_w = 0.125 * u * rho
+    tau_unif = 0.3 * (3.0 * np.pi**2) ** (2.0 / 3.0) * rho ** (5.0 / 3.0)
+    ds_z = 0.5 * ((1.0 + zeta) ** (5.0 / 3.0) + (1.0 - zeta) ** (5.0 / 3.0))
+    # 1e-30 floor: guards exact zero only (rho is _safe-floored, so
+    # tau_unif*ds_z >= ~1e-16; the TPU _tiny()=1e-9 would dominate it at
+    # low density and bias alpha, see _scan_fx)
+    alpha = jnp.clip(
+        (jnp.maximum(tau, tau_w) - tau_w)
+        / jnp.maximum(tau_unif * ds_z, 1e-30),
+        0.0, 1e6,
+    )
+
+    # eps_c1: revised PBE with rs-dependent beta and w1 resummation
+    phi = 0.5 * ((1.0 + zeta) ** (2.0 / 3.0) + (1.0 - zeta) ** (2.0 / 3.0))
+    ks = jnp.sqrt(4.0 * (3.0 / np.pi) ** (1.0 / 3.0) * rho ** (1.0 / 3.0))
+    t2 = u / (2.0 * phi * ks) ** 2
+    beta_rs = 0.066725 * (1.0 + 0.1 * rs) / (1.0 + 0.1778 * rs)
+    eps_lsda = _pw92_eps(rs, zeta)
+    gp3 = gamma * phi**3
+    w1 = jnp.expm1(-eps_lsda / gp3)
+    a_coef = beta_rs / (gamma * jnp.maximum(w1, 1e-30))
+    g_at2 = (1.0 + 4.0 * a_coef * t2) ** (-0.25)
+    h1 = gp3 * jnp.log1p(w1 * (1.0 - g_at2))
+    eps_c1 = eps_lsda + h1
+
+    # eps_c0: single-orbital / low-density limit
+    eps_lda0 = -b1c / (1.0 + b2c * jnp.sqrt(rs) + b3c * rs)
+    w0 = jnp.expm1(-eps_lda0 / b1c)
+    g_inf = (1.0 + 4.0 * chi_inf * s2) ** (-0.25)
+    h0 = b1c * jnp.log1p(w0 * (1.0 - g_inf))
+    dx_z = 0.5 * ((1.0 + zeta) ** (4.0 / 3.0) + (1.0 - zeta) ** (4.0 / 3.0))
+    gc_z = (1.0 - 2.3631 * (dx_z - 1.0)) * (1.0 - zeta**12)
+    eps_c0 = (eps_lda0 + h0) * gc_z
+
+    fc_a = _scan_interp(alpha, c1c, c2c, dc)
+    return rho * (eps_c1 + fc_a * (eps_c0 - eps_c1))
+
+
+scan_x.needs_tau = True
+scan_c.needs_tau = True
+
+
+# ------------------------------------------------- B97 family (wB97/wB97X)
+
+def _b97_series(u, coefs):
+    """Power-series inhomogeneity correction factor sum_i c_i u^i."""
+    acc = jnp.zeros_like(u)
+    up = jnp.ones_like(u)
+    for c in coefs:
+        acc = acc + c * up
+        up = up * u
+    return acc
+
+
+def _b97_u(x2, gamma):
+    """B97 variable u = gamma x^2 / (1 + gamma x^2) in [0, 1)."""
+    gx2 = gamma * x2
+    return gx2 / (1.0 + gx2)
+
+
+def _b97_x2(r, g):
+    """x_sigma^2 = sigma_ss / rho_s^{8/3}, range-split for the TPU
+    emulated-f64 exponent window (cf. pbe_x)."""
+    r = _safe(r)
+    return (jnp.maximum(g, 0.0) / (r * r)) * r ** (-2.0 / 3.0)
+
+
+def b97_sr_x(coefs, omega: float, gamma: float = 0.004):
+    """Becke-97-style short-range exchange: per-spin SR-LDA exchange
+    (exact erfc attenuation — for LDA the ITYH hole construction is the
+    exact SR-LDA factor with a = omega/(2 k_F,sigma)) times the power
+    series ICF.  omega=0 degenerates to full-range B97 exchange."""
+    cx = (3.0 / 4.0) * (3.0 / np.pi) ** (1.0 / 3.0) * 2.0 ** (1.0 / 3.0)
+    k_fac = 2.0 * cx  # e_LDA = -1/2 r^{4/3} K  =>  K = 2 cx
+
+    def fn(ra, rb, gaa, gab, gbb):
+        def per_spin(r, g):
+            r = _safe(r)
+            e_lda = -cx * r ** (4.0 / 3.0)
+            if omega:
+                a = (omega * np.sqrt(k_fac) / (6.0 * np.sqrt(np.pi))
+                     * r ** (-1.0 / 3.0))
+                e_lda = e_lda * _ityh_attenuation(a)
+            return e_lda * _b97_series(_b97_u(_b97_x2(r, g), gamma), coefs)
+
+        return per_spin(ra, gaa) + per_spin(rb, gbb)
+
+    return fn
+
+
+def b97_c(css, cos, g_ss: float = 0.2, g_os: float = 0.006):
+    """Becke-97-style correlation: PW92 LSDA split into same-spin and
+    opposite-spin pieces (Stoll partition: E_ss = E_c[rho_s, 0],
+    E_os = E_c[ra, rb] - E_c[ra, 0] - E_c[0, rb]), each times its own
+    power-series ICF."""
+
+    def fn(ra, rb, gaa, gab, gbb):
+        ra_, rb_ = _safe(ra), _safe(rb)
+
+        def e_polarized(r):
+            rs = (3.0 / (4.0 * np.pi * r)) ** (1.0 / 3.0)
+            return r * _pw92_eps(rs, 1.0 - 1e-12)
+
+        e_aa = e_polarized(ra_)
+        e_bb = e_polarized(rb_)
+        e_os = pw92_c(ra, rb, gaa, gab, gbb) - e_aa - e_bb
+        x2a = _b97_x2(ra_, gaa)
+        x2b = _b97_x2(rb_, gbb)
+        return (e_aa * _b97_series(_b97_u(x2a, g_ss), css)
+                + e_bb * _b97_series(_b97_u(x2b, g_ss), css)
+                + e_os * _b97_series(_b97_u(0.5 * (x2a + x2b), g_os), cos))
+
+    return fn
+
+
+# wB97 / wB97X parameter sets (Chai & Head-Gordon, JCP 128, 084106
+# (2008), Tables 1-2).  The UEG exact-exchange sum rule c_x,HF-SR +
+# c_x0 = 1 holds exactly for both sets.  The -D/-V dispersion tails of
+# the later variants are NOT included (no empirical dispersion model in
+# this package).
+_WB97X_CX = (0.842294, 0.726479, 1.04760, -5.70635, 13.2794)
+_WB97X_CSS = (1.000000, -4.33879, 18.2308, -31.7430, 17.2901)
+_WB97X_COS = (1.000000, -2.37368, 2.48687, -12.1768, 25.7759)
+_WB97_CX = (1.000000, 1.13116, -2.74915, 12.0900, -5.71642)
+_WB97_CSS = (1.000000, -2.55352, 11.8926, -26.9452, 17.0147)
+_WB97_COS = (1.000000, 3.99051, -17.0066, 1.07292, 8.88211)
+
+
 # ------------------------------------------------------------------ registry
 
 # name -> (terms [(coef, fn)], hyb fraction of HF exchange) or
@@ -435,6 +650,23 @@ FUNCTIONALS = {
     # meta-GGA (tau-dependent): TPSS and its 10%-exact-exchange hybrid.
     "tpss": ([(1.0, tpss_x), (1.0, tpss_c)], 0.0),
     "tpssh": ([(0.90, tpss_x), (1.0, tpss_c)], 0.10),
+    # SCAN meta-GGA (PRL 115, 036402 (2015)) and its 25% hybrid.
+    "scan": ([(1.0, scan_x), (1.0, scan_c)], 0.0),
+    "scan0": ([(0.75, scan_x), (1.0, scan_c)], 0.25),
+    # wB97X (Chai & Head-Gordon 2008): SR-B97 exchange + B97 correlation;
+    # exact exchange = 0.157706 full-range + 0.842294 long-range(0.3)
+    # (i.e. 100% at long range, 15.77% at short range).
+    "wb97x": (
+        [(1.0, b97_sr_x(_WB97X_CX, 0.3)), (1.0, b97_c(_WB97X_CSS, _WB97X_COS))],
+        0.157706,
+        (0.842294, 0.3),
+    ),
+    # wB97: 100% long-range exact exchange (omega=0.4), no SR fraction.
+    "wb97": (
+        [(1.0, b97_sr_x(_WB97_CX, 0.4)), (1.0, b97_c(_WB97_CSS, _WB97_COS))],
+        0.0,
+        (1.0, 0.4),
+    ),
     "pw92": ([(1.0, slater_x), (1.0, pw92_c)], 0.0),
     # Double hybrids (Grimme-style): the SCF part below is an ordinary
     # global hybrid; the missing PT2 correlation (coefficient in DH_PT2)
@@ -479,20 +711,212 @@ def pt2_coefficient(name) -> float:
     return DH_PT2.get(name.strip().lower().replace("-", ""), 0.0)
 
 
+# ------------------------------------------------- composition parser
+
+# primitive names usable in composition strings.  Exchange / correlation
+# tables are separate because libxc-style "X_part,C_part" strings resolve
+# bare names by side; names unique to one table ("b88", "lyp", "vwn5"...)
+# also resolve without a comma, while side-ambiguous families (PBE, TPSS)
+# need an explicit x/c suffix there ("pbex"/"pbec").
+_X_PRIMITIVES = {
+    "slater": slater_x, "lda": slater_x, "s": slater_x, "xalpha": slater_x,
+    "b88": b88_x, "becke88": b88_x, "b": b88_x,
+    "pbe": pbe_x,
+    "tpss": tpss_x,
+}
+_C_PRIMITIVES = {
+    "vwn": vwn5_c, "vwn5": vwn5_c,
+    "vwnrpa": vwn_rpa_c, "vwn_rpa": vwn_rpa_c,
+    "lyp": lyp_c,
+    "pbe": pbe_c,
+    "pw92": pw92_c, "pw": pw92_c,
+    "tpss": tpss_c,
+}
+
+_TERM_RE = re.compile(
+    r"(?P<sign>[+-]?)"
+    r"(?:(?P<coef>\d*\.?\d+(?:e[+-]?\d+)?)\*?)?"
+    r"(?P<name>[a-z][a-z0-9_]*)"
+    r"(?:\((?P<args>[^)]*)\))?"
+)
+
+
+def parse_composition(spec: str):
+    """Parse a libxc/PySCF-style linear-combination XC string.
+
+    Grammar (case-insensitive, whitespace ignored):
+        composition := side [',' side]     # with a comma: X side , C side
+        side        := term (('+'|'-') term)*
+        term        := [coef '*'] name ['(' omega ')']
+
+    Component names:
+      * ``HF``/``EXX`` — exact exchange (adds to the hybrid fraction);
+        ``LR_HF(omega)`` / ``SR_HF(omega)`` — long-/short-range exact
+        exchange (erf/erfc split at ``omega``).
+      * ``SR_<X>(omega)`` — ITYH short-range version of a DFT exchange
+        primitive, e.g. ``SR_B88(0.33)`` (the CAM-B3LYP construction).
+      * exchange primitives: SLATER/LDA, B88, PBE, TPSS;
+        correlation primitives: VWN5, VWN_RPA, LYP, PBE, PW92, TPSS.
+        Without a comma, PBE/TPSS need a ``x``/``c`` suffix (``pbex``).
+      * without a comma, a registered compound name (``b3lyp``, ``pbe0``,
+        ``camb3lyp``...) expands in place with its coefficient applied.
+
+    Examples (all equivalent to registry entries):
+        ``"0.2*HF + 0.08*SLATER + 0.72*B88 + 0.81*LYP + 0.19*VWN_RPA"``
+        ``"0.25*HF + 0.75*PBE, PBE"``
+        ``"0.19*HF + 0.46*LR_HF(0.33) + 0.35*B88 + 0.46*SR_B88(0.33)
+           + 0.19*VWN5 + 0.81*LYP"``  (CAM-B3LYP)
+
+    Returns ``(terms, hyb, rsh)`` in the :func:`resolve_functional`
+    contract. Raises ``ValueError`` with a pointed message on malformed
+    input (unknown component, ambiguous side, mixed omegas).
+    """
+    flat = "".join(spec.split()).lower()
+    if not flat:
+        raise ValueError("empty XC composition string")
+    sides = flat.split(",")
+    if len(sides) > 2:
+        raise ValueError(
+            f"XC composition {spec!r} has {len(sides) - 1} commas; at most "
+            "one ('X_part,C_part') is allowed."
+        )
+
+    terms, hyb, beta = [], 0.0, 0.0
+    omegas = set()
+
+    def need_omega(name, args):
+        if not args:
+            raise ValueError(
+                f"range-separated component '{name}' needs an omega "
+                f"argument, e.g. '{name}(0.33)'"
+            )
+        w = float(args)
+        omegas.add(w)
+        return w
+
+    def resolve_name(name, args, side):
+        """Apply one component with unit coefficient -> list of
+        (coef, fn) terms plus (d_hyb, d_beta)."""
+        if name in ("hf", "exx"):
+            return [], 1.0, 0.0
+        if name in ("lr_hf", "lrhf"):
+            need_omega(name, args)
+            return [], 0.0, 1.0
+        if name in ("sr_hf", "srhf"):
+            need_omega(name, args)
+            return [], 1.0, -1.0
+        if name.startswith("sr_") and side != "c":
+            base = _X_PRIMITIVES.get(name[3:])
+            if base is not None:
+                w = need_omega(name, args)
+                return [(1.0, ityh_sr_x(base, w))], 0.0, 0.0
+        if side == "x":
+            fn = _X_PRIMITIVES.get(name) or _X_PRIMITIVES.get(
+                name.removesuffix("x").removesuffix("_"))
+            if fn is None:
+                raise ValueError(
+                    f"unknown exchange component '{name}'; have "
+                    f"{sorted(set(_X_PRIMITIVES))} (+ HF/LR_HF/SR_HF/SR_<X>)"
+                )
+            return [(1.0, fn)], 0.0, 0.0
+        if side == "c":
+            fn = _C_PRIMITIVES.get(name) or _C_PRIMITIVES.get(
+                name.removesuffix("c").removesuffix("_"))
+            if fn is None:
+                raise ValueError(
+                    f"unknown correlation component '{name}'; have "
+                    f"{sorted(set(_C_PRIMITIVES))}"
+                )
+            return [(1.0, fn)], 0.0, 0.0
+        # comma-less: compound registry first, then side-unique primitives
+        key = name.replace("_", "")
+        if key in FUNCTIONALS:
+            sub_terms, sub_hyb, sub_rsh = resolve_functional(key)
+            d_beta = 0.0
+            if sub_rsh is not None:
+                d_beta = sub_rsh[0]
+                omegas.add(sub_rsh[1])
+            return list(sub_terms), sub_hyb, d_beta
+        in_x = name in _X_PRIMITIVES
+        in_c = name in _C_PRIMITIVES
+        if in_x and in_c:
+            raise ValueError(
+                f"component '{name}' is both an exchange and a correlation "
+                f"primitive; disambiguate with '{name}x'/'{name}c' or use "
+                "the 'X_part,C_part' comma form."
+            )
+        if in_x:
+            return [(1.0, _X_PRIMITIVES[name])], 0.0, 0.0
+        if in_c:
+            return [(1.0, _C_PRIMITIVES[name])], 0.0, 0.0
+        if name.endswith("x") and name[:-1] in _X_PRIMITIVES:
+            return [(1.0, _X_PRIMITIVES[name[:-1]])], 0.0, 0.0
+        if name.endswith("c") and name[:-1] in _C_PRIMITIVES:
+            return [(1.0, _C_PRIMITIVES[name[:-1]])], 0.0, 0.0
+        raise ValueError(
+            f"unknown XC component '{name}'; have compounds "
+            f"{sorted(FUNCTIONALS)}, exchange {sorted(set(_X_PRIMITIVES))}, "
+            f"correlation {sorted(set(_C_PRIMITIVES))}"
+        )
+
+    for part, side in zip(sides, ("x", "c") if len(sides) == 2 else (None,)):
+        if not part:
+            continue  # empty side, e.g. "b88," (exchange only)
+        pos = 0
+        for m in _TERM_RE.finditer(part):
+            if m.start() != pos:
+                raise ValueError(
+                    f"could not parse XC composition {spec!r} at "
+                    f"'{part[pos:]}'"
+                )
+            pos = m.end()
+            coef = float(m.group("coef") or 1.0)
+            if m.group("sign") == "-":
+                coef = -coef
+            sub, d_hyb, d_beta = resolve_name(
+                m.group("name"), m.group("args"), side)
+            terms.extend((coef * c, f) for c, f in sub)
+            hyb += coef * d_hyb
+            beta += coef * d_beta
+        if pos != len(part):
+            raise ValueError(
+                f"could not parse XC composition {spec!r} at '{part[pos:]}'"
+            )
+
+    if len(omegas) > 1:
+        raise ValueError(
+            f"XC composition {spec!r} mixes range-separation omegas "
+            f"{sorted(omegas)}; a single omega is required (the exchange "
+            "kernel is folded as hyb*K + beta*K_LR(omega))."
+        )
+    rsh = (beta, omegas.pop()) if beta and omegas else None
+    return terms, hyb, rsh
+
+
 def resolve_functional(name: str):
     """Return (terms, hyb, rsh) for a functional name (case-insensitive).
 
     ``rsh`` is ``None`` for global hybrids / pure functionals, or
     ``(beta, omega)`` for range-separated hybrids: exact exchange enters
     the Fock matrix as ``hyb*K + beta*K_LR(omega)``.
+
+    Unregistered names are tried as libxc-style composition strings
+    (:func:`parse_composition`) — the reference forwards arbitrary
+    functional specs to PySCF/libxc (reference driver.py:163-169); this
+    covers the linear-combination subset of that surface natively.
     """
     key = name.strip().lower().replace("-", "")
     try:
         entry = FUNCTIONALS[key]
-    except KeyError as exc:
-        raise KeyError(
-            f"XC functional '{name}' not implemented. Have: {sorted(FUNCTIONALS)}"
-        ) from exc
+    except KeyError:
+        try:
+            return parse_composition(name)
+        except ValueError as exc:
+            raise KeyError(
+                f"XC functional '{name}' is not a registered name "
+                f"({sorted(FUNCTIONALS)}) and did not parse as a "
+                f"composition string: {exc}"
+            ) from exc
     if len(entry) == 2:
         return entry[0], entry[1], None
     return entry

@@ -107,6 +107,7 @@ class NbedDriver:
             max_cycle=self.config.max_hf_cycles,
             density_fitting=self._use_df,
             warmup_f32=self.config.warmup_f32,
+            max_memory_mb=float(self.config.max_ram_memory),
         )
 
     @cached_property
@@ -127,6 +128,7 @@ class NbedDriver:
             max_cycle=self.config.max_dft_cycles,
             density_fitting=self._use_df,
             warmup_f32=self.config.warmup_f32,
+            max_memory_mb=float(self.config.max_ram_memory),
         )
 
     @cached_property

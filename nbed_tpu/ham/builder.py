@@ -116,13 +116,40 @@ class HamiltonianBuilder:
         return h1, h2
 
     def build(self):
-        """Return ``(constant, h1_spinorb, 0.5 * h2_spinorb)``."""
+        """Return ``(constant, h1_spinorb, 0.5 * h2_spinorb)``.
+
+        ``n_frozen_core > 0`` folds the lowest ``n_frozen_core`` *spatial*
+        orbitals (both spins) exactly into the constant and one-body terms
+        via :func:`~nbed_tpu.solvers.frozen.freeze_spinorbitals` — the
+        retained-sector spectrum is unchanged (tests/test_builder.py).
+        The reference accepts the same parameter but never applies it
+        (reference ham_builder.py:24,227); here it is a real scale lever.
+        """
         if self.n_frozen_virt != 0:
             self.scf = reduce_virtuals(self.scf, self.n_frozen_virt)
         one_body = self._one_body_integrals()
         two_body = self._two_body_integrals()
         h1, h2 = self._spinorb_from_spatial(one_body, two_body)
-        return self.constant_e_shift, h1, 0.5 * h2
+        constant, h2_half = self.constant_e_shift, 0.5 * h2
+        if self.n_frozen_core:
+            from ..solvers.frozen import freeze_spinorbitals
+
+            occ = np.asarray(self.scf.mo_occ)
+            if occ.ndim == 1:  # restricted: doubled spatial occupations
+                occ = np.stack([occ / 2.0, occ / 2.0])
+            occ_mask = np.zeros(h1.shape[0], dtype=bool)
+            occ_mask[::2] = occ[0][: h1.shape[0] // 2] > 0.5
+            occ_mask[1::2] = occ[1][: h1.shape[0] // 2] > 0.5
+            nf = 2 * int(self.n_frozen_core)
+            if nf > h1.shape[0] or not occ_mask[:nf].all():
+                raise HamiltonianBuilderError(
+                    f"n_frozen_core={self.n_frozen_core} must select only "
+                    "occupied spatial orbitals."
+                )
+            constant, h1, h2_half, _ = freeze_spinorbitals(
+                constant, h1, h2_half, range(nf), occ_mask
+            )
+        return constant, h1, h2_half
 
 
 def reduce_virtuals(scf_solution, n_frozen_virt: int):

@@ -105,6 +105,14 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
     Returns a pure function of ``coords`` (natm, 3, bohr) returning
     ``{"e_emb_rhf", "e_global", "e_act", "e_env", "two_e_cross",
     "converged"}`` — jit/vmap-compatible.
+
+    Differentiability: forward-mode geometry derivatives require the SPADE
+    eigenvalue gap at the active/environment split (``lam_k > lam_{k+1}``)
+    to be OPEN along the whole path — the custom projector jvp divides by
+    that gap.  ``n_act_mos > n_act_aos`` (gap structurally zero) is
+    rejected at build time; a gap that *closes along a reaction path* is a
+    physical degeneracy the caller must resolve by choosing a different
+    ``n_act_mos`` (as the reference's ACE fit does).
     """
     if projector not in ("mu", "huzinaga"):
         raise ValueError(f"unknown projector {projector!r}")
@@ -123,6 +131,19 @@ def make_mu_embed_energy(mol: Molecule, n_active_atoms: int, n_act_mos,
         n_act = (int(n_act_mos[0]), int(n_act_mos[1]))
     if any(n_act[s] > n_occ[s] for s in range(2)):
         raise ValueError(f"n_act_mos {n_act} exceeds occupied {n_occ}.")
+    if any(n_act[s] > n_act_aos for s in range(2)):
+        # rank(A^T A) <= n_act_aos for the (n_act_aos, n_occ) SPADE block:
+        # more active MOs than active-AO rows makes the top-k eigenvalue
+        # gap identically zero and every forward-mode geometry derivative
+        # through _topk_projector_jvp divides by that zero gap (NaN).  The
+        # SPADE gap being OPEN (lam_k > lam_{k+1}) is a standing
+        # requirement of the jvp rule; this static check rejects the one
+        # structurally guaranteed violation at build time.
+        raise ValueError(
+            f"n_act_mos {n_act} exceeds the active-AO count {n_act_aos}: "
+            "the SPADE overlap block cannot have that many nonzero "
+            "singular values (zero gap -> NaN geometry derivatives)."
+        )
 
     def energy(coords):
         coords = jnp.asarray(coords)

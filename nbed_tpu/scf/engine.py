@@ -82,15 +82,17 @@ def df_b_factor(mol, coords, beta: float = 1.8, omega: float = 0.0) -> np.ndarra
     return np.einsum("abP,PQ->abQ", b3, m_isqrt, optimize=True)
 
 
-# max elements of the (nao, nao, chunk) DF-exchange intermediate.  The
-# X64 two-f32 emulation expands an f64 GEMM temp ~4x in bytes (hi/lo
-# splits + cross-product partials: measured f32[8,nao,nao,naux] remat
-# copies at pfoa scale), so this bounds the *nominal* element count well
-# below HBM: 2e7 f64 elements -> ~160 MB nominal, <1 GB emulated.
+# max elements of the (nao, nao, chunk) DF-exchange intermediate at the
+# DEFAULT 4000 MB memory budget (config.max_ram_memory default; engines
+# scale it linearly via max_memory_mb).  The X64 two-f32 emulation expands
+# an f64 GEMM temp ~4x in bytes (hi/lo splits + cross-product partials:
+# measured f32[8,nao,nao,naux] remat copies at pfoa scale), so this bounds
+# the *nominal* element count well below HBM: 2e7 f64 elements ->
+# ~160 MB nominal, <1 GB emulated.
 _DF_K_CHUNK_ELEMS = int(2e7)
 
 
-def _df_k_spin(b, d):
+def _df_k_spin(b, d, chunk_elems: int = _DF_K_CHUNK_ELEMS):
     """DF exchange K[i,j] = B_ikP d_kl B_jlP as two plain GEMM chains.
 
     Valid for any symmetric ``d`` (incl. the non-PSD delta densities of
@@ -111,11 +113,11 @@ def _df_k_spin(b, d):
     import jax
 
     nao, naux = b.shape[0], b.shape[-1]
-    if nao * nao * naux <= _DF_K_CHUNK_ELEMS:
+    if nao * nao * naux <= chunk_elems:
         t = jnp.einsum("ikP,kl->ilP", b, d)
         k = jnp.einsum("ilP,jlP->ij", t, b)
         return 0.5 * (k + k.T)
-    chunk = max(256, _DF_K_CHUNK_ELEMS // (nao * nao))
+    chunk = max(256, chunk_elems // (nao * nao))
     n_blk = -(-naux // chunk)
     pad = n_blk * chunk - naux
     b_p = jnp.pad(b, ((0, 0), (0, 0), (0, pad))) if pad else b
@@ -224,6 +226,11 @@ class SCFEngine:
     # prologue, SCF loop, final Fock — into ONE compiled program with all
     # big operands passed as jit arguments: "auto" (on TPU, where each
     # eager dispatch pays remote-tunnel latency), "on", "off"
+    max_memory_mb: float = 4000.0  # memory budget (MB) scaling the chunked
+    # intermediates: the DF-exchange aux-axis chunk and the XC table/
+    # streaming switchover are calibrated for 4000 MB (the reference's
+    # config.max_ram_memory default, passed to PySCF max_memory, reference
+    # driver.py:114) and scale linearly with this knob
     dispatch_cycles: Optional[int] = None  # SCF cycles per device dispatch
     # on the jitted path. None = auto: chunk (K=8) only when the
     # streaming-XC path runs on TPU — a full-length streaming while_loop
@@ -328,15 +335,25 @@ class SCFEngine:
         k_lr = jnp.transpose(self.eri_lr, (0, 2, 1, 3)).reshape(n * n, n * n)
         return self._xc_meta[1] * k + beta * k_lr
 
+    @property
+    def _df_chunk_elems(self) -> int:
+        """Aux-chunk element bound for the DF-exchange intermediate,
+        scaled from the 4000-MB calibration by :attr:`max_memory_mb`."""
+        return max(int(_DF_K_CHUNK_ELEMS * self.max_memory_mb / 4000.0),
+                   1_000_000)
+
     # above this many AO-table elements (ao + 3 gradient tables = x4; 1e8
-    # elements ~ 3.2 GB f64) the XC closure streams AO evaluation per grid
-    # chunk instead.  The table path is preferred on TPU: with the G-minor
-    # eval_aos layout it runs pfoa/level-3 (4.8e7 elements, 384k points)
-    # fine.  The streaming program under lax.map crashed the TPU worker at
-    # that scale (round-3 bisect, ks_stream vs ks_table in
-    # scripts/pfoa_tpu_bisect.py); it now runs under lax.fori_loop with
-    # carried accumulators, the same structure as the aux-chunked DF-K.
-    _XC_TABLE_LIMIT = 1e8
+    # elements ~ 3.2 GB f64, the 4000-MB calibration point) the XC closure
+    # streams AO evaluation per grid chunk instead.  The table path is
+    # preferred on TPU: with the G-minor eval_aos layout it runs
+    # pfoa/level-3 (4.8e7 elements, 384k points) fine.  The streaming
+    # program under lax.map crashed the TPU worker at that scale (round-3
+    # bisect, ks_stream vs ks_table in scripts/pfoa_tpu_bisect.py); it now
+    # runs under lax.fori_loop with carried accumulators, the same
+    # structure as the aux-chunked DF-K.
+    @property
+    def _XC_TABLE_LIMIT(self) -> float:
+        return 1e8 * self.max_memory_mb / 4000.0
 
     @cached_property
     def _grid(self):
@@ -527,11 +544,12 @@ class SCFEngine:
                 d_tot = dm32[0] + dm32[1]
                 rho = jnp.einsum("abP,ab->P", b32, d_tot)
                 j = jnp.einsum("abP,P->ab", b32, rho)
-                k = jnp.stack([_df_k_spin(b32, dm32[0]),
-                               _df_k_spin(b32, dm32[1])])
+                ce = self._df_chunk_elems
+                k = jnp.stack([_df_k_spin(b32, dm32[0], ce),
+                               _df_k_spin(b32, dm32[1], ce)])
                 if b32_lr is not None:
-                    k_lr = jnp.stack([_df_k_spin(b32_lr, dm32[0]),
-                                      _df_k_spin(b32_lr, dm32[1])])
+                    k_lr = jnp.stack([_df_k_spin(b32_lr, dm32[0], ce),
+                                      _df_k_spin(b32_lr, dm32[1], ce)])
                     k = self._xc_meta[1] * k + self._rsh[0] * k_lr
                 return j, k
 
@@ -578,9 +596,11 @@ class SCFEngine:
         d_tot = dm[0] + dm[1]
         rho = jnp.einsum("abP,ab->P", b, d_tot)
         j = jnp.einsum("abP,P->ab", b, rho)
-        k = jnp.stack([_df_k_spin(b, dm[0]), _df_k_spin(b, dm[1])])
+        ce = self._df_chunk_elems
+        k = jnp.stack([_df_k_spin(b, dm[0], ce), _df_k_spin(b, dm[1], ce)])
         if b_lr is not None:
-            k_lr = jnp.stack([_df_k_spin(b_lr, dm[0]), _df_k_spin(b_lr, dm[1])])
+            k_lr = jnp.stack([_df_k_spin(b_lr, dm[0], ce),
+                              _df_k_spin(b_lr, dm[1], ce)])
             k = self._xc_meta[1] * k + self._rsh[0] * k_lr
         return j, k
 
@@ -643,6 +663,8 @@ class SCFEngine:
             self.xc, self.rohf, self.density_fitting, float(self.df_beta),
             self._inc_enabled, self._pallas_enabled, int(self.rebase_every),
             self.grid_scheme, tuple(self.grid_size), int(self.grid_level),
+            # chunk sizes shape the traced program
+            self._df_chunk_elems, float(self._XC_TABLE_LIMIT),
         )
 
     def _shared_jit(self, kind: str, build):
@@ -652,7 +674,12 @@ class SCFEngine:
             while len(_JIT_PROGRAM_CACHE) >= _JIT_PROGRAM_CACHE_MAX:
                 _JIT_PROGRAM_CACHE.pop(next(iter(_JIT_PROGRAM_CACHE)))
             fn = build()
-            _JIT_PROGRAM_CACHE[key] = fn
+        else:
+            # LRU, not FIFO: promote on hit so a hot engine interleaved
+            # with many cold ones keeps its program (a ~40-50 s retrace
+            # otherwise, measured round 3)
+            del _JIT_PROGRAM_CACHE[key]
+        _JIT_PROGRAM_CACHE[key] = fn
         return fn
 
     @property

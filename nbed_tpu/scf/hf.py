@@ -299,12 +299,19 @@ def run_scf(
     use_inc = jk_fn_fast is not None
     use_xc_fast = xc_fn_fast is not None and xc_fn is not None
 
-    def make_step(inc: bool, xcfast: bool, diis: bool | None = None):
+    def make_step(inc: bool, xcfast: bool, diis: bool | None = None,
+                  damp: float = 0.0):
         """Build one SCF step closure; ``inc=False, xcfast=False`` is the
         pure full-precision step used by the polish loop below. ``diis``
         overrides the run-level ``use_diis`` (the tangent-polish cycles run
         DIIS-free so the forward-mode tangents follow the plain Roothaan
-        contraction instead of re-mixing stale history-Fock tangents)."""
+        contraction instead of re-mixing stale history-Fock tangents).
+        ``damp`` mixes the old density into the update,
+        ``D <- (1-damp) G(D) + damp D``: the fixed point (and hence the
+        implicit-function tangent ``(I-J)^{-1} dG``) is unchanged, but any
+        Jacobian eigenvalue in ``(-(1+damp)/(1-damp), 1)`` becomes
+        contractive — stabilising DIIS-free iteration at fixed points where
+        undamped Roothaan oscillates (small-gap / stretched geometries)."""
         step_diis = use_diis if diis is None else diis
 
         def step(carry):
@@ -363,6 +370,8 @@ def run_scf(
                 f_use = f_use + level_shift * (s[None] - sds)
             mo_e, c = eig_fock(f_use)
             dm_new = make_rdm1(c, occ)
+            if damp:
+                dm_new = (1.0 - damp) * dm_new + damp * dm
             de = jnp.abs(e_cur - carry["e"])
             ddm = jnp.max(jnp.linalg.norm(dm_new - dm, axis=(-2, -1)))
             conv = jnp.logical_and(de < conv_tol, ddm < dm_conv_tol)
@@ -428,8 +437,23 @@ def run_scf(
         # mu*S*D_env*S in parallel/embed_path). A fixed number of extra
         # full-precision cycles is a primal no-op on a converged density
         # and lets the tangents settle at the same geometric rate.
-        extra = make_step(False, False, diis=False)
-        out = jax.lax.fori_loop(0, grad_cycles, lambda i, c_: extra(c_), out)
+        # Gated on convergence (an unconverged density would just be walked
+        # further by DIIS-free steps) and damped (0.5 keeps the polish
+        # contractive at fixed points where undamped Roothaan iteration
+        # oscillates; the damping leaves both the fixed point and the
+        # implicit-function tangent unchanged, see make_step).
+        extra = make_step(False, False, diis=False, damp=0.5)
+        conv_main, cycle_main = out["conv"], out["cycle"]
+        out = jax.lax.cond(
+            conv_main,
+            lambda c_: jax.lax.fori_loop(0, grad_cycles,
+                                         lambda i, c2: extra(c2), c_),
+            lambda c_: c_,
+            out,
+        )
+        # the polish steps recompute conv/cycle internally; report the
+        # actual while_loop outcome, not the last DIIS-free step's
+        out["conv"], out["cycle"] = conv_main, cycle_main
 
     # final consistent energy/Fock for the converged density
     f_fin, huz_fin, e_fin = fock_and_energy(out["dm"])

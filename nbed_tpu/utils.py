@@ -4,7 +4,6 @@ import argparse
 import json
 import logging
 import logging.config
-import os
 from pathlib import Path
 from typing import Optional
 
@@ -115,22 +114,29 @@ def pubchem_mol_geometry(molecule_name, timeout: float = 10.0) -> dict:
 def build_ordered_xyz_string(struct_dict: dict, active_atom_inds: list) -> str:
     """Build an XYZ string with the chosen active atoms listed first.
 
-    Matches reference utils.py:115-190 semantics (active atoms promoted to
-    the top so ``n_active_atoms`` selects them).
+    The driver selects the active fragment as the *leading*
+    ``n_active_atoms`` of the geometry, so promoting the chosen indices to
+    the top is how an arbitrary active selection is expressed (same output
+    contract as reference utils.py:115-190).
+
+    Args:
+        struct_dict: ``{index: (symbol, (x, y, z))}`` as returned by
+            :func:`pubchem_mol_geometry` (angstrom).
+        active_atom_inds: indices (keys of ``struct_dict``) to promote.
     """
-    if not set(active_atom_inds).issubset(set(struct_dict.keys())):
+    unknown = [i for i in active_atom_inds if i not in struct_dict]
+    if unknown:
         raise ValueError(
-            "active atom indices not subset of indices in structural dict "
+            f"Active atom indices {unknown} do not exist in the structure "
+            f"(valid indices: {sorted(struct_dict)})."
         )
-    ordering = (
-        *active_atom_inds,
-        *[ind for ind in struct_dict.keys() if ind not in active_atom_inds],
-    )
-    xyz_file = f"{len(struct_dict)}\n \n"
-    for atom_ind in ordering:
-        atom, xyz = struct_dict[atom_ind]
-        xyz_file += f"{atom}\t{xyz[0]}\t{xyz[1]}\t{xyz[2]}\n"
-    return xyz_file
+    active = list(active_atom_inds)
+    environment = [i for i in struct_dict if i not in set(active)]
+    lines = [str(len(struct_dict)), " "]
+    for idx in active + environment:
+        symbol, (x, y, z) = struct_dict[idx]
+        lines.append(f"{symbol}\t{x}\t{y}\t{z}")
+    return "\n".join(lines) + "\n"
 
 
 def save_ordered_xyz_file(
@@ -139,13 +145,15 @@ def save_ordered_xyz_file(
     active_atom_inds: list,
     save_location: Optional[Path] = None,
 ) -> Path:
-    """Write the ordered XYZ to ``<loc>/molecular_structures/<name>.xyz``."""
-    xyz_string = build_ordered_xyz_string(struct_dict, active_atom_inds)
-    if save_location is None:
-        save_location = Path(os.getcwd())
-    output_dir = os.path.join(str(save_location), "molecular_structures")
-    os.makedirs(output_dir, exist_ok=True)
-    xyz_file_path = os.path.join(output_dir, f"{file_name}.xyz")
-    with open(xyz_file_path, "w") as outfile:
-        outfile.write(xyz_string)
-    return Path(xyz_file_path)
+    """Write the ordered XYZ under ``<save_location>/molecular_structures/``.
+
+    Returns the path of the written ``<file_name>.xyz`` (directory created
+    as needed; defaults to the working directory, matching the reference's
+    output layout, reference utils.py:193-222).
+    """
+    base = Path(save_location) if save_location is not None else Path.cwd()
+    out_dir = base / "molecular_structures"
+    out_dir.mkdir(parents=True, exist_ok=True)
+    out_path = out_dir / f"{file_name}.xyz"
+    out_path.write_text(build_ordered_xyz_string(struct_dict, active_atom_inds))
+    return out_path

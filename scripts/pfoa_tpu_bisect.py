@@ -73,9 +73,9 @@ STAGES = {
 
 def _apply_overrides(name, eng):
     if name.startswith("ks_stream"):
-        eng._XC_TABLE_LIMIT = 1  # instance override: always stream
+        eng.max_memory_mb = 0.0  # _XC_TABLE_LIMIT -> 0: always stream
     if name == "ks_table":
-        eng._XC_TABLE_LIMIT = 1e12  # never stream
+        eng.max_memory_mb = 4e13  # _XC_TABLE_LIMIT -> 1e18: never stream
     return eng
 
 

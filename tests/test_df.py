@@ -92,6 +92,5 @@ def test_xc_pack_prefers_table_below_limit(water_molecule):
     then streams — the table path is the TPU-validated one (pfoa bisect)."""
     eng = SCFEngine(water_molecule, xc="b3lyp")
     assert eng._xc_pack(np.float64)[0] == "table"
-    eng2 = SCFEngine(water_molecule, xc="b3lyp")
-    eng2._XC_TABLE_LIMIT = 1
+    eng2 = SCFEngine(water_molecule, xc="b3lyp", max_memory_mb=0.0)
     assert eng2._xc_pack(np.float64)[0] == "streaming"

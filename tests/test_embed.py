@@ -72,3 +72,34 @@ def test_reference_config_file_parses():
     assert cfg.n_active_atoms == 1
     assert cfg.basis == "STO-3G"
     assert cfg.run_dft_in_dft is True
+
+
+def test_symmetry_true_rejected():
+    """symmetry=True must error loudly, not silently no-op (the reference
+    forwards it to gto.Mole; this backend has no point-group machinery)."""
+    import pytest
+    from pydantic import ValidationError
+
+    from nbed_tpu.config import NbedConfig
+
+    with pytest.raises(ValidationError, match="symmetry"):
+        NbedConfig(
+            geometry="2\n\nH 0.0 0.0 0.0\nH 0.0 0.0 0.7\n",
+            n_active_atoms=1, basis="sto-3g", xc_functional="b3lyp",
+            symmetry=True,
+        )
+
+
+def test_max_ram_memory_scales_engine_knobs():
+    """config.max_ram_memory is consumed: it scales the engine's chunked
+    DF-exchange intermediate and the XC table/streaming switchover."""
+    from nbed_tpu.chem import build_molecule
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule("2\n\nH 0.0 0.0 0.0\nH 0.0 0.0 0.7\n", "sto-3g")
+    small = SCFEngine(mol, max_memory_mb=1000.0)
+    default = SCFEngine(mol)
+    assert small._df_chunk_elems * 4 == default._df_chunk_elems
+    assert small._XC_TABLE_LIMIT * 4 == default._XC_TABLE_LIMIT
+    # the knob reshapes traced programs, so it must key the program cache
+    assert small._jit_spec != default._jit_spec

@@ -40,3 +40,24 @@ def test_frozen_core_fci_close_to_full(water_uhf):
     e_frozen_core = run_emb_fci(water_uhf, frozen=[0])
     assert abs(e_full - e_frozen_core) < 5e-3
     assert e_frozen_core > e_full - 1e-10  # variational in the smaller space
+
+
+def test_builder_n_frozen_core_wired(water_uhf):
+    """HamiltonianBuilder(n_frozen_core=k) folds the core exactly: the
+    built Hamiltonian shrinks by 2k spin orbitals and its spectrum matches
+    the explicit freeze_spinorbitals route (the reference accepts
+    n_frozen_core but never applies it, reference ham_builder.py:24,227)."""
+    const, h1, h2 = HamiltonianBuilder(water_uhf, 0.0, n_frozen_core=1).build()
+    assert h1.shape[0] == 12  # 14 spin orbitals - 2 frozen core
+    vals, _ = run_fci(const, h1, h2, h1.shape[0], (4, 4))
+    e_builder = float(vals[0]) + water_uhf.energy_nuc()
+    e_ref = run_emb_fci(water_uhf, frozen=[0])
+    assert np.isclose(e_builder, e_ref, atol=1e-10)
+
+
+def test_builder_n_frozen_core_rejects_virtuals(water_uhf):
+    """Freezing more spatial orbitals than are occupied must raise."""
+    from nbed_tpu.exceptions import HamiltonianBuilderError
+
+    with pytest.raises(HamiltonianBuilderError):
+        HamiltonianBuilder(water_uhf, 0.0, n_frozen_core=6).build()

@@ -108,9 +108,9 @@ def test_tpss_scf_water(water_molecule):
 def test_tpss_streaming_xc_matches_tables(water_molecule):
     """The O(chunk*nao)-memory streaming XC path carries the tau channel
     identically to the table path (pfoa-scale molecules use streaming)."""
+    # max_memory_mb=0 drives _XC_TABLE_LIMIT to 0, forcing streaming
     eng = SCFEngine(water_molecule, xc="tpss", conv_tol=1e-9,
-                    dm_conv_tol=1e-7, max_cycle=60)
-    eng._XC_TABLE_LIMIT = 0  # force streaming
+                    dm_conv_tol=1e-7, max_cycle=60, max_memory_mb=0.0)
     sol = eng.kernel()
     assert sol.converged
     assert np.isclose(sol.e_tot, -75.32293726424629, atol=1e-10)

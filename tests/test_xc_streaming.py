@@ -43,8 +43,9 @@ def test_multichunk_fori_loop_paths_exact(water_molecule, xc):
 
 
 def test_streaming_xc_matches_tables(water_molecule, water_uks):
-    eng = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9, max_cycle=100)
-    eng._XC_TABLE_LIMIT = 0  # force the streaming path
+    # max_memory_mb=0 -> _XC_TABLE_LIMIT 0: force the streaming path
+    eng = SCFEngine(water_molecule, xc="b3lyp", conv_tol=1e-9, max_cycle=100,
+                    max_memory_mb=0.0)
     sol = eng.kernel()
     assert sol.converged
     assert np.isclose(sol.e_tot, water_uks.e_tot, atol=1e-10)
