@@ -1,0 +1,91 @@
+"""Row-3 (Na-Ar) basis coverage: 6-31G tables + end-to-end S pipeline.
+
+The 6-31G Na-Ar entries are audited variationally offline
+(scripts/audit_row3_631g.py: HF-limit window + exponent stationarity);
+these tests pin the in-repo invariants: element coverage, atomic UHF
+energies inside the split-valence window above the numerical HF limit,
+and the embedding pipeline's EXACT subsystem-energy partition identity on
+an S-containing molecule (identity tests need no external oracle —
+reference tests/test_driver.py:217-224 uses the same invariant).
+"""
+
+import numpy as np
+import pytest
+
+from nbed_tpu.chem import build_molecule
+
+ROW3 = ["Na", "Mg", "Al", "Si", "P", "S", "Cl", "Ar"]
+
+# numerical HF limits of the atomic ground terms (Koga/Clementi-Roetti)
+HF_LIMIT = {
+    "Na": -161.858911, "Mg": -199.614636, "Al": -241.876707,
+    "Si": -288.854362, "P": -340.718780, "S": -397.504896,
+    "Cl": -459.482072, "Ar": -526.817512,
+}
+
+H2S = (
+    "3\n\n"
+    "S   0.0000  0.0000  0.1030\n"
+    "H   0.0000  0.9616  -0.8239\n"
+    "H   0.0000  -0.9616  -0.8239\n"
+)
+
+
+@pytest.mark.parametrize("sym", ROW3)
+def test_631g_element_coverage(sym):
+    mol = build_molecule(f"1\n\n{sym} 0.0 0.0 0.0", "6-31g")
+    # 6-31G row 3: [4s, 3p] -> 4 + 9 = 13 AOs
+    assert mol.nao == 13
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sym,spin", [("Na", 1), ("Si", 2), ("S", 2),
+                                      ("Ar", 0)])
+def test_631g_atomic_uhf_in_window(sym, spin):
+    """Ground-state atomic UHF must land between the numerical HF limit
+    and limit + 90 mHa (split-valence truncation band).  A transcribed-
+    table error in any significant entry pushes the energy out of this
+    window."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule(f"1\n\n{sym} 0.0 0.0 0.0", "6-31g", spin=spin)
+    sol = SCFEngine(mol, conv_tol=1e-8, max_cycle=200,
+                    init_guess="hcore").kernel()
+    assert sol.converged, sym
+    lim = HF_LIMIT[sym]
+    assert lim - 1e-4 < sol.e_tot < lim + 0.090, (sym, sol.e_tot)
+
+
+@pytest.mark.slow
+def test_h2s_pipeline_partition_identity():
+    """End-to-end S-containing embedding run (6-31G): the subsystem-DFT
+    decomposition must reproduce the global KS energy exactly
+    (e_act + e_env + two_e_cross + e_nuc == e_tot), and the mu-embedded
+    SCF must converge."""
+    from nbed_tpu.config import NbedConfig
+    from nbed_tpu.driver import NbedDriver
+
+    cfg = NbedConfig(
+        geometry=H2S, n_active_atoms=1, basis="6-31g",
+        xc_functional="b3lyp", projector="mu", localization="spade",
+        convergence=1e-8,
+    )
+    drv = NbedDriver(cfg)
+    drv.embed()
+    e_recomposed = drv.e_act + drv.e_env + drv.two_e_cross + drv.e_nuc
+    assert np.isclose(e_recomposed, drv._global_ks.e_tot, atol=1e-8)
+    assert drv.mu["scf"].converged
+    assert np.isfinite(drv.classical_energy)
+
+
+@pytest.mark.slow
+def test_nacl_631g_scf_converges():
+    """Ionic row-3 diatomic sanity: NaCl/6-31G UHF converges to a bound
+    energy below the separated-atom sum."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    nacl = "2\n\nNa 0.0 0.0 0.0\nCl 0.0 0.0 2.36\n"
+    mol = build_molecule(nacl, "6-31g")
+    sol = SCFEngine(mol, conv_tol=1e-7, max_cycle=200).kernel()
+    assert sol.converged
+    assert sol.e_tot < HF_LIMIT["Na"] + HF_LIMIT["Cl"] + 0.2
