@@ -41,6 +41,12 @@ def setup_logs() -> None:
         },
     }
     logging.config.dictConfig(config_dict)
+    # during interpreter teardown JAX logs "Clearing JAX backend caches"
+    # after pytest/capture has closed our handlers' streams; with
+    # raiseExceptions the logging machinery then prints a
+    # "--- Logging error ---" traceback into every captured tail.
+    # Production-library stance: drop records whose handler is gone.
+    logging.raiseExceptions = False
     logging.getLogger(__name__).debug("Logging initialised.")
 
 
