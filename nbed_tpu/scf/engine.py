@@ -835,9 +835,15 @@ class SCFEngine:
                 rohf=self.rohf,
             )
 
+        # max_cycle is a TRACED operand, not static: the while_loop bound
+        # is data-dependent-safe in XLA, and keeping it dynamic means one
+        # compiled program serves every cycle count — the chunked-dispatch
+        # path and fixed-cycle benchmarking were otherwise compiling (and,
+        # over the remote tunnel, re-loading) a program per count
+        # (~210 s/program at pfoa scale, measured round 4).
         return self._shared_jit("kernel", lambda: jax.jit(
             body, static_argnames=(
-                "nelec", "conv_tol", "dm_conv_tol", "max_cycle",
+                "nelec", "conv_tol", "dm_conv_tol",
                 "level_shift", "warmup",
             )))
 
