@@ -35,9 +35,42 @@ jax.config.update("jax_enable_x64", True)
 
 # persistent compilation cache: the integral-class kernels are compile-heavy
 # and reused identically across processes (tests, bench, driver rounds).
+#
+# CPU caches are additionally keyed by a HOST-CPU fingerprint: JAX's cache
+# key does not capture the exact machine-feature set of XLA:CPU AOT
+# artifacts, so an artifact compiled on a host with (say) +prefer-no-scatter
+# loads on a later host with a warning ("could lead to execution errors
+# such as SIGILL") — and sometimes a real SIGSEGV in
+# backend.deserialize_executable (root-caused round 4: the whole-suite
+# interpreter crash was a feature-mismatched AOT reload at
+# tests/test_vqe.py after the cache survived a host change between
+# rounds). A fingerprinted directory simply cold-starts on new hardware.
+
+
+def _host_cpu_tag() -> str:
+    try:
+        import hashlib
+
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.md5(
+                        " ".join(sorted(line.split(":", 1)[1].split()))
+                        .encode()
+                    ).hexdigest()[:8]
+    except OSError:
+        pass
+    return "nohost"
+
+
 _cache_dir = _os.environ.get(
     "NBED_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/nbed_tpu_jax")
 )
+if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+    # only CPU-platform caches hold XLA:CPU AOT artifacts; TPU caches are
+    # device-targeted and must survive host swaps (remote compiles are
+    # minutes-expensive over the tunnel)
+    _cache_dir = f"{_cache_dir}-{_host_cpu_tag()}"
 try:
     _os.makedirs(_cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

@@ -2,6 +2,27 @@
 (multi-chip sharding tests run on host devices) before any jax import."""
 
 import os
+import sys
+
+# HARD REQUIREMENT (root-caused round 4): tests must not run in a process
+# that loaded the axon PJRT plugin. The sitecustomize on this image's
+# PYTHONPATH registers libaxon_pjrt.so whenever PALLAS_AXON_POOL_IPS is
+# set; that .so carries its own XLA built on a DIFFERENT machine, and its
+# interposition corrupts XLA:CPU codegen in-process — measured effects:
+# "cpu_aot_loader ... could lead to execution errors such as SIGILL"
+# warnings, a whole-suite segfault in deserialize_executable (round 3 and
+# round 4), and SILENTLY WRONG numerics (a variationally impossible
+# e_vqe < e_fci by 1.2e-4, bit-reproducible, vanishing the moment the
+# plugin is absent). Since sitecustomize runs before pytest can react,
+# re-exec the interpreter once with the trigger stripped.
+if (os.environ.get("PALLAS_AXON_POOL_IPS")
+        and os.environ.get("_NBED_TPU_TEST_REEXEC") != "1"):
+    _env = dict(os.environ)
+    _env["_NBED_TPU_TEST_REEXEC"] = "1"
+    _env.pop("PALLAS_AXON_POOL_IPS", None)
+    _env["PYTHONPATH"] = ""  # drop the axon sitecustomize entirely
+    os.execve(sys.executable,
+              [sys.executable, "-m", "pytest", *sys.argv[1:]], _env)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
