@@ -30,7 +30,11 @@ Budgeting: the WHOLE benchmark keeps itself under a total wall budget
 subprocess with timeout = min(stage cap, remaining budget); stages that no
 longer fit are skipped and recorded as ``<stage>_error: "skipped(budget)"``
 in bench_details.json.  Stage order puts the north-star metrics first so
-they survive any external kill.
+they survive any external kill.  A numpy-f64 headline SEED runs inline
+before anything else, so ``value`` is non-zero within seconds no matter
+what dies later; ``baseline: "xla-cpu-1core"`` rides with every speedup
+ratio because the CPU lanes are this host's single-core XLA:CPU — a weaker
+denominator than the reference's multithreaded PySCF/BLAS stack.
 
 Robustness: every stage runs in its own SUBPROCESS with a hard timeout.
 SIGALRM cannot interrupt a native XLA wait (a wedged remote-compile tunnel
@@ -102,10 +106,17 @@ def bench_fock(details):
     22 GB of X64-split temps and does not fit one v5e). The f64 emulation
     cost is measured at nao=64 and reported in the details. vs_baseline
     compares against single-thread f64 numpy — the shape of the reference's
-    PySCF-CPU Fock path."""
+    PySCF-CPU Fock path.
+
+    Chain lengths are BACKEND-AWARE: the 505-build chain that amortises the
+    remote-tunnel dispatch constant on the v5e takes >10 min of single-core
+    XLA:CPU time (the round-4 bench starved every later stage on exactly
+    this), so the CPU path uses a 25-build chain — noisier, but it lands.
+    """
     import jax
     import jax.numpy as jnp
 
+    on_tpu = jax.default_backend() == "tpu"
     nao = 128
     n2 = nao * nao
     flops_per_build = 2.0 * n2 * n2 + 2.0 * 2.0 * n2 * n2  # J + 2 K matvecs
@@ -120,6 +131,8 @@ def bench_fock(details):
     import functools
 
     def time_chained(build, g, dm, n_lo=5, n_hi=505):
+        if not on_tpu:  # single-core XLA:CPU: land, don't starve
+            n_lo, n_hi = 2, 27
         """Per-build device time via an on-device fori_loop chain (each
         build feeds the next), differencing two loop lengths to cancel the
         dispatch + readback constant: over the remote tunnel,
@@ -182,7 +195,7 @@ def bench_fock(details):
             return j[None] - k
 
         _log("fock: compiling f64 device build (nao=64)")
-        t_dev64 = time_chained(fock64_body, g64, dm64)
+        t_dev64 = time_chained(fock64_body, g64, dm64, 5, 105)
         flops64 = 2.0 * m2 * m2 + 4.0 * m2 * m2
         _log(f"fock: f64 device (nao=64) {t_dev64 * 1e3:.2f} ms/build")
         details["t_fock_f64_nao64_s"] = t_dev64
@@ -280,14 +293,23 @@ def bench_pfoa(details):
         res = eng.kernel(dm0=dm0, conv_tol=0.0, dm_conv_tol=0.0, max_cycle=n)
         return res.e_tot
 
-    _log(f"pfoa: nao={mol.nao}; compiling {n_lo}- and {n_hi}-cycle programs")
-    for n in (n_lo, n_hi):  # compile + warm
-        e_last = run(n)
+    # max_cycle is a TRACED operand of the fused kernel, so n_lo and n_hi
+    # share ONE compiled program.  Two warm calls, not one: the 2nd call
+    # still pays a measured ~56 s one-off (persistent-cache serialization
+    # of the big program) — with a single warm it landed on the timed
+    # n_lo run and made t(1 cycle) > t(3 cycles) (r05 validation).
+    _log(f"pfoa: nao={mol.nao}; compiling the fused-cycle program")
+    for _ in range(2):
+        e_last = run(n_lo)
     t = {}
     for n in (n_lo, n_hi):
         t0 = time.perf_counter()
         e_last = run(n)
         t[n] = time.perf_counter() - t0
+    if t[n_hi] <= t[n_lo]:
+        details["pfoa_warn"] = (
+            f"non-monotonic timing: t({n_lo})={t[n_lo]:.1f}s "
+            f">= t({n_hi})={t[n_hi]:.1f}s")
     per_cycle = max(
         (t[n_hi] - t[n_lo]) / (n_hi - n_lo) / builds_per_cycle, 1e-9)
     _log(f"pfoa: {per_cycle * 1e3:.1f} ms/cycle (warm), "
@@ -497,14 +519,16 @@ def _stage_probe(out, details):
 
 
 # stage -> (fn, cap seconds).  The cap is the per-stage worst case; the
-# actual subprocess timeout is min(cap, remaining total budget).
+# actual subprocess timeout is min(cap, remaining total budget).  The probe
+# cap is deliberately short: a dead tunnel must cost ≤10% of the budget
+# (round 4 burned 240 s here and starved the whole CPU-fallback plan).
 _STAGES = {
-    "probe": (_stage_probe, 240),
-    "fock": (_stage_fock, 420),
+    "probe": (_stage_probe, 75),
+    "fock": (_stage_fock, 360),
     "pipeline": (_stage_pipeline, 480),
     "pfoa": (_stage_pfoa, 600),
     "ccsd": (_stage_ccsd, 300),
-    "jw": (_stage_jw, 240),
+    "jw": (_stage_jw, 180),
     "batch": (_stage_batch, 300),
 }
 
@@ -570,11 +594,53 @@ def _cpu_env():
     return env
 
 
+def _seed_headline(out, details):
+    """Guarantee a NON-ZERO headline within seconds of starting: the
+    single-thread f64 numpy Fock build (the baseline denominator itself,
+    no XLA involved).  Every later stage only improves on this — a kill or
+    wedge at any point still leaves a real measured number on stdout.
+    vs_baseline is 1.0 by construction until a device stage overwrites it.
+    """
+    try:
+        # nao=64, not the stage's 128: the 2 GB nao=128 operand takes
+        # minutes to even generate on this single-core host — the seed's
+        # whole job is to land in seconds (details record the size)
+        nao = 64
+        n2 = nao * nao
+        flops = 2.0 * n2 * n2 + 2.0 * 2.0 * n2 * n2
+        rng = np.random.default_rng(0)
+        g_np = rng.standard_normal((n2, n2)) / n2
+        dm = rng.standard_normal((2, nao, nao))
+
+        def fock_np(d):
+            j = (g_np @ (d[0] + d[1]).reshape(-1)).reshape(nao, nao)
+            k = (g_np @ d.reshape(2, n2).T).T.reshape(2, nao, nao)
+            return j[None] - k
+
+        fock_np(dm)
+        t0 = time.perf_counter()
+        for _ in range(3):
+            fock_np(dm)
+        t_np = (time.perf_counter() - t0) / 3
+        out["value"] = round(flops / t_np / 1e9, 3)
+        out["vs_baseline"] = 1.0
+        details["seed_numpy_f64_gflops"] = out["value"]
+        details["seed_nao"] = nao
+        _log(f"seed: numpy f64 fock {out['value']:.1f} GFLOP/s "
+             f"({t_np * 1e3:.0f} ms/build)")
+    except Exception as exc:  # noqa: BLE001 — the seed must never abort
+        details["seed_error"] = repr(exc)
+
+
 def main():
     t_start = time.monotonic()
     total_budget = float(os.environ.get("NBED_BENCH_TOTAL_BUDGET", "900"))
     out = {"metric": "fock_build_gflops", "unit": "GFLOP/s",
-           "value": 0.0, "vs_baseline": 0.0}
+           "value": 0.0, "vs_baseline": 0.0,
+           # denominator caveat: CPU lanes run this host's single-core
+           # XLA:CPU — a weaker baseline than the reference's multithreaded
+           # PySCF/BLAS stack (BASELINE.md asks for the honest comparison)
+           "baseline": "xla-cpu-1core"}
     details = {}
 
     def remaining():
@@ -590,11 +656,15 @@ def main():
         except OSError:
             pass
 
+    _seed_headline(out, details)
+    emit()
+
     dev_env = dict(os.environ)
     probe = _run_stage_subprocess("probe", dev_env,
                                   min(_STAGES["probe"][1], remaining()))
     details["probe"] = probe["status"]
-    if probe["status"] != "ok":
+    fallback = probe["status"] != "ok"
+    if fallback:
         # wedged/unreachable tunnel: fall back to CPU so the benchmark
         # still reports real (if slower) numbers, honestly labeled
         _log(f"probe failed ({probe['status']}); falling back to CPU")
@@ -605,28 +675,57 @@ def main():
         details["device"] = probe["out"].get("device")
     emit()
 
-    # (stage key, run label, env, out-key remap) in north-star-first order:
-    # fock + pipeline + its CPU lane (speedup) + pfoa + its CPU lane come
-    # before the secondary throughput stages.
+    # (stage key, run label, env kind, mode, cap override) in
+    # north-star-first order: the full pipeline + its CPU lane (warm
+    # speedup), then pfoa's CPU lane BEFORE its device lane — the device
+    # lane's big fused program is the one compile the tunnel/helper has
+    # been seen to wedge on (r05: two 880 s attempts never finished
+    # compiling), so it must not be able to starve the CPU lane that
+    # carries the other half of the ratio; its cap override (330 s) also
+    # bounds the damage while still covering a healthy cold compile+run
+    # (~230 s measured r04).  In cpu-fallback mode the order is
+    # pipeline → pfoa → jw → fock: the stages that CAN finish on a
+    # single-core host and that carry the north-star metrics land first
+    # (round-4 failure: fock-first starved everything).
     cpu = _cpu_env()
     plan = [
-        ("fock", "fock", dev_env, None),
-        ("pipeline", "pipeline", dev_env, None),
-        ("pipeline", "pipeline_cpu", cpu, "cpu"),
-        ("pfoa", "pfoa", dev_env, None),
-        ("pfoa", "pfoa_cpu", cpu, "cpu"),
-        ("jw", "jw", cpu, None),  # host/native-engine metric
-        ("ccsd", "ccsd", dev_env, None),
-        ("batch", "batch", dev_env, None),
+        ("pipeline", "pipeline", "dev", None, 330),
+        ("pipeline", "pipeline_cpu", "cpu", "cpu", None),
+        ("pfoa", "pfoa_cpu", "cpu", "cpu", None),
+        ("pfoa", "pfoa", "dev", None, 330),
+        ("jw", "jw", "cpu", None, None),  # host/native-engine metric
+        ("fock", "fock", "dev", None, None),
+        ("ccsd", "ccsd", "dev", None, None),
+        ("batch", "batch", "dev", None, None),
     ]
     if os.environ.get("NBED_BENCH_SKIP_PIPELINE"):
         plan = [p for p in plan if p[0] != "pipeline"]
-    if out["backend"] == "cpu-fallback":
+    if fallback:
         # device lane IS the cpu lane: skip the duplicate cpu runs
         plan = [p for p in plan if p[3] != "cpu"]
 
-    for stage, label, env, mode in plan:
-        cap = _STAGES[stage][1]
+    def refresh_ratios():
+        """(Re)compute the speedup ratios from whatever lanes have landed
+        — idempotent, so lane order and late overwrites don't matter."""
+        cw = out.get("embed_pipeline_cpu_warm_s")
+        tw = out.get("embed_pipeline_warm_s")
+        if cw and tw and out.get("pipeline_lane") != "cpu":
+            out["pipeline_speedup_warm"] = round(cw / tw, 2)
+        cc = out.get("pfoa_cpu_scf_cycle_s")
+        dc = out.get("pfoa_scf_cycle_s")
+        if cc and dc and out.get("pfoa_lane") != "cpu":
+            # the BASELINE.md north-star ratio at a scale where the GEMMs
+            # dominate (TPU/CPU energy parity pinned separately:
+            # docs/PERFORMANCE.md pfoa rows, 9.7e-6 Ha)
+            out["pfoa_cycle_speedup"] = round(cc / dc, 2)
+
+    dev_kills = 0
+    for stage, label, envkind, mode, cap_override in plan:
+        env = cpu if envkind == "cpu" else dev_env
+        # lane-cap overrides bound known wedge-prone device compiles; in
+        # (late-)fallback the lane runs on CPU and needs the full cap
+        cap = (cap_override if cap_override and envkind == "dev"
+               and not fallback else _STAGES[stage][1])
         left = remaining() - 15.0  # reserve for the final emit
         if left < 60.0:
             _log(f"{label}: skipped (budget: {left:.0f}s left)")
@@ -646,29 +745,44 @@ def main():
         details[f"{label}_stage_wall_s"] = round(time.monotonic() - t_stage, 1)
         if res["status"] != "ok":
             details[f"{label}_error"] = res["status"]
+            if envkind == "dev" and not fallback:
+                # the probe passed but the tunnel has since degraded (kill,
+                # wedge, or RPC error): after two dead device stages, run
+                # the REST of the plan on CPU (real numbers, honestly
+                # labeled) instead of feeding every remaining stage to the
+                # same wedge
+                dev_kills += 1
+                if dev_kills >= 2:
+                    _log("two device stages dead; late CPU fallback")
+                    fallback = True
+                    dev_env = cpu
+                    out["backend"] = "cpu-fallback-late"
         if mode == "cpu":
-            # CPU-lane results land under *_cpu keys + the speedup ratios
+            # CPU-lane results land under *_cpu keys; the ratios are
+            # recomputed from whatever lanes exist after every stage
             details[f"{label}_details"] = res["details"]
             if stage == "pipeline" and res["status"] == "ok":
-                cpu_warm = res["out"].get("embed_pipeline_warm_s")
-                out["embed_pipeline_cpu_warm_s"] = cpu_warm
-                tpu_warm = out.get("embed_pipeline_warm_s")
-                if cpu_warm and tpu_warm:
-                    out["pipeline_speedup_warm"] = round(
-                        cpu_warm / tpu_warm, 2)
+                out["embed_pipeline_cpu_warm_s"] = \
+                    res["out"].get("embed_pipeline_warm_s")
             elif stage == "pfoa" and res["status"] == "ok":
-                cpu_cyc = res["out"].get("pfoa_scf_cycle_s")
-                out["pfoa_cpu_scf_cycle_s"] = cpu_cyc
-                dev_cyc = out.get("pfoa_scf_cycle_s")
-                if cpu_cyc and dev_cyc:
-                    # the BASELINE.md north-star ratio at a scale where
-                    # the GEMMs dominate (TPU/CPU energy parity at this
-                    # scale is separately pinned: docs/PERFORMANCE.md
-                    # pfoa rows, 9.7e-6 Ha)
-                    out["pfoa_cycle_speedup"] = round(cpu_cyc / dev_cyc, 2)
+                out["pfoa_cpu_scf_cycle_s"] = \
+                    res["out"].get("pfoa_scf_cycle_s")
         else:
+            if res["status"] == "ok" and res["out"]:
+                out.pop(f"{stage}_lane", None)  # real device lane landed
             out.update(res["out"])
             details.update(res["details"])
+        # a dead device lane must not lose its CPU counterpart's numbers:
+        # promote them into the headline (labeled as CPU) eagerly — a later
+        # successful device lane overwrites the key and drops the label
+        for st, main_key, cpu_key in (
+                ("pipeline", "embed_pipeline_warm_s",
+                 "embed_pipeline_cpu_warm_s"),
+                ("pfoa", "pfoa_scf_cycle_s", "pfoa_cpu_scf_cycle_s")):
+            if out.get(main_key) is None and out.get(cpu_key) is not None:
+                out[main_key] = out[cpu_key]
+                out[f"{st}_lane"] = "cpu"
+        refresh_ratios()
         emit()
 
     details["total_wall_s"] = round(time.monotonic() - t_start, 1)

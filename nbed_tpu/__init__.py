@@ -48,25 +48,61 @@ jax.config.update("jax_enable_x64", True)
 
 
 def _host_cpu_tag() -> str:
+    """Hash BOTH the feature flags and the model name: XLA:CPU AOT
+    artifacts embed LLVM *tuning* attributes (e.g. +prefer-no-scatter)
+    chosen per CPU model, so two hosts with identical flag lists can still
+    produce feature-mismatched artifacts."""
     try:
         import hashlib
 
+        parts = {}
         with open("/proc/cpuinfo") as f:
             for line in f:
-                if line.startswith("flags"):
-                    return hashlib.md5(
-                        " ".join(sorted(line.split(":", 1)[1].split()))
-                        .encode()
-                    ).hexdigest()[:8]
+                key, _, val = line.partition(":")
+                key = key.strip()
+                if key in ("flags", "model name") and key not in parts:
+                    parts[key] = (" ".join(sorted(val.split()))
+                                  if key == "flags" else val.strip())
+        if parts:
+            blob = "|".join(f"{k}={parts[k]}" for k in sorted(parts))
+            return hashlib.md5(blob.encode()).hexdigest()[:8]
     except OSError:
         pass
     return "nohost"
 
 
+def _default_backend_is_cpu() -> bool:
+    """Will this process's default JAX backend be XLA:CPU?  Parse the
+    platform list properly (not a substring test — 'tpu,cpu' must NOT
+    count); with no explicit platform, CPU is the default exactly when no
+    accelerator plugin is around to register itself."""
+    plats = [p.strip().lower()
+             for p in _os.environ.get("JAX_PLATFORMS", "").split(",")
+             if p.strip()]
+    if plats:
+        return plats[0] == "cpu"
+    if _os.environ.get("PALLAS_AXON_POOL_IPS"):
+        return False  # the axon sitecustomize registers a TPU backend
+    try:
+        from importlib.metadata import entry_points
+
+        if list(entry_points(group="jax_plugins")):
+            return False
+    except Exception:
+        pass
+    try:
+        import libtpu  # noqa: F401
+
+        return False
+    except ImportError:
+        pass
+    return True  # bare CPU-only install
+
+
 _cache_dir = _os.environ.get(
     "NBED_TPU_JAX_CACHE", _os.path.expanduser("~/.cache/nbed_tpu_jax")
 )
-if "cpu" in _os.environ.get("JAX_PLATFORMS", ""):
+if _default_backend_is_cpu():
     # only CPU-platform caches hold XLA:CPU AOT artifacts; TPU caches are
     # device-targeted and must survive host swaps (remote compiles are
     # minutes-expensive over the tunnel)

@@ -10,7 +10,7 @@ molecule-build time in :mod:`nbed_tpu.chem.molecule`.
 
 from .data_sto3g import STO3G
 from .data_631g import P631G
-from .data_ccpvdz import CCPVDZ
+from .data_ccpvdz import CCPVDZ, CCPVDZ_GENERATED
 
 _REGISTRY = {
     "sto-3g": STO3G,
@@ -54,6 +54,18 @@ def get_element_shells(basis: str, symbol: str):
             f"(or pass a Basis Set Exchange JSON file path)."
         ) from exc
     sym = symbol.capitalize()
+    if table is CCPVDZ and sym in CCPVDZ_GENERATED:
+        import warnings
+
+        warnings.warn(
+            f"cc-pVDZ entry for {sym} is re-derived by the Dunning "
+            "construction rule in this offline image "
+            "(scripts/gen_row3_ccpvdz.py), NOT the published "
+            "Woon-Dunning table; expect atomic energies 20-60 mHa above "
+            "the published set (DZ quality preserved). Pass a Basis Set "
+            "Exchange JSON path for the exact published data.",
+            stacklevel=3,
+        )
     try:
         return table[sym]
     except KeyError as exc:

@@ -1,4 +1,6 @@
-"""cc-pVDZ basis data (Dunning 1989) for H, C, N, O, F.
+"""cc-pVDZ basis data (Dunning 1989): published tables for H, C, N, O;
+re-derived entries (construction-rule, flagged via ``CCPVDZ_GENERATED``
+and a lookup warning) for F and the second row.
 
 Used for the larger-basis benchmark configurations (BASELINE.md config #2);
 not exercised by oracle-exact tests. Coefficients are the published
@@ -75,7 +77,7 @@ CCPVDZ = {
 }
 
 # ------------------------------------------------------------- second row
-# Na-Ar entries derived by the cc-pVDZ construction rule in this offline
+# Row-3 entries derived by the cc-pVDZ construction rule in this offline
 # image (scripts/gen_row3_ccpvdz.py; the published Woon-Dunning tables
 # could not be sourced verbatim): (12s, 8p) even-tempered primitives with
 # the four even-tempered parameters variationally optimized for the
@@ -120,3 +122,13 @@ _ROW3_CCPVDZ = {
 }
 
 CCPVDZ.update(_ROW3_CCPVDZ)
+
+# elements whose entries are re-derived by the construction rule rather
+# than transcribed from the published Woon-Dunning/Dunning tables — the
+# basis lookup warns on first use of any of these (advisor r4: a user
+# requesting cc-pVDZ sulfur must not silently get a different basis than
+# the reference's PySCF tables would supply).  F's valence-s exponents
+# are re-optimized but its contraction structure/energetics match the
+# published set closely (tests/test_basis_fluorine.py); the row-3 entries
+# are even-tempered approximations 20-60 mHa above published quality.
+CCPVDZ_GENERATED = {"F"} | set(_ROW3_CCPVDZ)

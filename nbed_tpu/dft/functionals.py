@@ -912,10 +912,40 @@ def resolve_functional(name: str):
         try:
             return parse_composition(name)
         except ValueError as exc:
+            # families we recognise but do not ship primitives for: give a
+            # targeted, actionable error instead of a bare parse failure
+            # (reference surface: free-form xc strings forwarded to libxc,
+            # reference driver.py:163-169)
+            _FAMILY_HINTS = {
+                ("m05", "m06", "m08", "m11", "mn12", "mn15"):
+                    "the Minnesota meta-GGAs need VS98-type kinetic-energy"
+                    "-density power series not shipped here; the closest "
+                    "supported meta-GGA hybrids are 'scan0', 'tpssh' and "
+                    "the range-separated 'wb97x'",
+                ("b97d", "b97"):
+                    "the B97 power-series GGA family is shipped only in "
+                    "its range-separated wB97/wB97X forms; for a "
+                    "dispersion-oriented GGA try 'blyp' or 'pbe'",
+                ("revtpss", "rtpss"):
+                    "only the original TPSS is shipped ('tpss', 'tpssh'); "
+                    "revTPSS's revised C(zeta,xi) is not",
+                ("hse", "hse06", "hse03"):
+                    "screened (SR-only) exact exchange is not supported; "
+                    "supported range separation is LR-corrected "
+                    "('camb3lyp', 'wb97x', 'lcblyp')",
+            }
+            hint = next((h for fam, h in _FAMILY_HINTS.items()
+                         if any(key.startswith(f) for f in fam)), None)
+            hint_txt = f" Note: {hint}." if hint else ""
             raise KeyError(
-                f"XC functional '{name}' is not a registered name "
-                f"({sorted(FUNCTIONALS)}) and did not parse as a "
-                f"composition string: {exc}"
+                f"XC functional '{name}' is not a registered name and did "
+                f"not parse as a composition string ({exc}).{hint_txt} "
+                f"Registered names: {sorted(FUNCTIONALS)}. Composition "
+                "strings combine exchange primitives "
+                f"{sorted(_X_PRIMITIVES)} and correlation primitives "
+                f"{sorted(_C_PRIMITIVES)} with HF/EXX, LR_HF(omega), "
+                "SR_HF(omega) and SR_<X>(omega) terms, e.g. "
+                "'0.2*HF + 0.08*SLATER + 0.72*B88, 0.81*LYP + 0.19*VWN_RPA'."
             ) from exc
     if len(entry) == 2:
         return entry[0], entry[1], None

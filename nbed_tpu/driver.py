@@ -679,8 +679,17 @@ def _delete_spin_environment(projector, n_env_mo, mo_coeff, mo_energy, mo_occ,
     wrong criterion*.
     """
     if projector is ProjectorTypes.HUZ:
+        # Rank by the TRUE overlap diag(C^T P_env C) — MO i's population in
+        # the environment projector ("ij,ji->i").  The reference instead
+        # computes "ij,ki->i" (reference driver.py:749-753), which
+        # contracts j and k INDEPENDENTLY: (Σ_j C_ji)·(Σ_k (P C)_ki), a
+        # product of coefficient sums, not an overlap — a probable
+        # reference bug its surrounding comments contradict.  Both metrics
+        # select the same environment set on the oracle systems (pinned by
+        # tests/test_driver.py::test_huzinaga_env_ranking_metrics), so the
+        # physically meaningful metric is used here.
         overlap = np.einsum(
-            "ij,ki->i", mo_coeff.swapaxes(-1, -2), environment_projector @ mo_coeff
+            "ij,ji->i", mo_coeff.swapaxes(-1, -2), environment_projector @ mo_coeff
         )
         frozen = list(overlap.argsort()[::-1][:n_env_mo])
     else:  # MU: level-shifted orbitals end up highest

@@ -135,8 +135,14 @@ class HamiltonianBuilder:
             from ..solvers.frozen import freeze_spinorbitals
 
             occ = np.asarray(self.scf.mo_occ)
-            if occ.ndim == 1:  # restricted: doubled spatial occupations
-                occ = np.stack([occ / 2.0, occ / 2.0])
+            if occ.ndim == 1:
+                # restricted: occ ∈ {2, 1, 0}; a SOMO (occ=1, ROHF) is
+                # alpha-occupied and beta-empty — build the per-spin map
+                # accordingly so the mask is a correct occupancy map (the
+                # guard below still rejects freezing a window containing
+                # a SOMO, since freezing is only exact for doubly-occupied
+                # orbitals)
+                occ = np.stack([(occ > 0.9) * 1.0, (occ > 1.9) * 1.0])
             occ_mask = np.zeros(h1.shape[0], dtype=bool)
             occ_mask[::2] = occ[0][: h1.shape[0] // 2] > 0.5
             occ_mask[1::2] = occ[1][: h1.shape[0] // 2] > 0.5

@@ -20,13 +20,34 @@ if (os.environ.get("PALLAS_AXON_POOL_IPS")
     _env = dict(os.environ)
     _env["_NBED_TPU_TEST_REEXEC"] = "1"
     _env.pop("PALLAS_AXON_POOL_IPS", None)
-    _env["PYTHONPATH"] = ""  # drop the axon sitecustomize entirely
-    os.execve(sys.executable,
-              [sys.executable, "-m", "pytest", *sys.argv[1:]], _env)
+    # drop ONLY the axon sitecustomize dir — legitimate PYTHONPATH entries
+    # (an uninstalled checkout, extra plugins) must survive the re-exec
+    _env["PYTHONPATH"] = os.pathsep.join(
+        p for p in os.environ.get("PYTHONPATH", "").split(os.pathsep)
+        if p and "axon_site" not in p
+    )
+    if os.path.basename(sys.argv[0]).startswith(("pytest", "py.test")) \
+            or sys.argv[0].endswith("pytest/__main__.py"):
+        os.execve(sys.executable,
+                  [sys.executable, "-m", "pytest", *sys.argv[1:]], _env)
+    # programmatic pytest.main() caller: an execve would silently replace
+    # the caller's process — warn loudly and continue instead
+    print("WARNING: axon PJRT plugin active in-process (known to corrupt "
+          "XLA:CPU codegen); run pytest as a CLI or strip "
+          "PALLAS_AXON_POOL_IPS yourself.", file=sys.stderr)
 
 os.environ["JAX_PLATFORMS"] = "cpu"
+# --xla_cpu_max_isa=AVX2: at AVX512 XLA:CPU adds the LLVM tuning prefs
+# +prefer-no-scatter/+prefer-no-gather to the compile target, and the AOT
+# loader's host-feature probe never reports tuning prefs — so EVERY
+# persistent-cache reload warns "could lead to execution errors such as
+# SIGILL" even for artifacts this very host compiled (controlled repro:
+# scripts/aot_warning_repro.py). Same-host artifacts cannot actually
+# SIGILL; capping to AVX2 removes the tuning prefs and the noise for
+# ~12% CPU throughput (measured: 1500^2 f64 GEMM 199->223 ms).
 os.environ["XLA_FLAGS"] = (
-    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+    os.environ.get("XLA_FLAGS", "")
+    + " --xla_force_host_platform_device_count=8 --xla_cpu_max_isa=AVX2"
 )
 # Never route test compiles through the axon remote-compile helper: it is a
 # single HTTP endpoint that wedges under concurrent compile-heavy processes,

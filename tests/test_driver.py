@@ -442,3 +442,42 @@ def test_delete_spin_environment_extra_virtuals():
             ProjectorTypes.MU, 2, mo_coeff, mo_energy, mo_occ, None,
             n_extra_virt=4,
         )
+
+
+def test_huzinaga_env_ranking_metrics(huz_driver):
+    """Adjudicate the environment-MO ranking metric (round-5 VERDICT #6).
+
+    The reference ranks env MOs with ``einsum("ij,ki->i", C^T, P@C)``
+    (reference driver.py:749-753), which contracts j and k INDEPENDENTLY —
+    a product of coefficient sums, not the overlap its comments describe.
+    nbed_tpu uses the true overlap ``diag(C^T P_env C)`` ("ij,ji->i").
+    This test pins that on the oracle system both metrics select the SAME
+    environment set (so adopting the physical metric changes nothing
+    pinned elsewhere), and that the true metric separates env from active
+    MOs with a strict gap.
+    """
+    drv = huz_driver
+    pre, _v_emb = drv._huzinaga_embed(
+        drv._hf_engine, drv.embedding_potential, drv.localized_system, None
+    )
+    c_env = drv.localized_system.c_enviro
+    mo = np.asarray(pre.mo_coeff)
+    proj = np.asarray(drv._env_projector)
+    if mo.ndim == 2:
+        lanes = [(mo, proj, c_env.shape[-1])]
+    else:
+        lanes = [(mo[s], proj[s], c_env.shape[-1]) for s in (0, 1)]
+    for c, p, n_env in lanes:
+        pc = p @ c
+        true_metric = np.einsum("ij,ji->i", c.T, pc)
+        ref_metric = np.einsum("ij,ki->i", c.T, pc)
+        sel_true = np.argsort(true_metric)[::-1][:n_env]
+        sel_ref = np.argsort(ref_metric)[::-1][:n_env]
+        assert set(sel_true.tolist()) == set(sel_ref.tolist()), (
+            "reference product-of-sums metric and true overlap metric "
+            f"disagree: {sel_ref} vs {sel_true}"
+        )
+        # strict separation: the weakest selected env MO must carry clearly
+        # more env-projector weight than the strongest unselected MO
+        ranked = np.sort(true_metric)[::-1]
+        assert ranked[n_env - 1] > 2.0 * max(ranked[n_env], 0.0) + 1e-3

@@ -109,3 +109,22 @@ def test_scf_water_scan_wb97x():
         sol = SCFEngine(mol, xc=xc, conv_tol=1e-7, max_cycle=120).kernel()
         assert sol.converged, xc
         assert lo < sol.e_tot < hi, (xc, sol.e_tot)
+
+
+@pytest.mark.slow
+def test_scan_hydrogen_atom_scf_exact():
+    """End-to-end external oracle: SCAN is EXACT for the hydrogen atom
+    (Sun, Ruzsinszky & Perdew, PRL 115, 036402 (2015) — single-orbital
+    densities have alpha=0, where SCAN exchange cancels the Hartree energy
+    and SCAN correlation vanishes).  In a finite basis this means the
+    converged SCAN total energy must coincide with UHF in the SAME basis
+    (for one electron, exact exchange == HF exchange), up to grid
+    quadrature error.  A functional-form error in h1x/gx/correlation
+    breaks this at the mHa scale; grid error is ~1e-5 Ha at level 3."""
+    mol = build_molecule("1\n\nH 0.0 0.0 0.0", "6-31g", spin=1)
+    hf = SCFEngine(mol, conv_tol=1e-10, max_cycle=100).kernel()
+    scan = SCFEngine(mol, xc="scan", conv_tol=1e-10, max_cycle=100).kernel()
+    assert hf.converged and scan.converged
+    # 6-31G UHF hydrogen: -0.498233 Ha (basis-limited; exact -0.5)
+    assert abs(hf.e_tot - (-0.498233)) < 5e-5
+    assert abs(scan.e_tot - hf.e_tot) < 5e-5, (scan.e_tot, hf.e_tot)

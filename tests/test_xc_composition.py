@@ -59,3 +59,22 @@ def test_scaled_compound_expansion():
 def test_exchange_only_comma_form():
     terms, hyb, rsh = parse_composition("b88,")
     assert hyb == 0.0 and rsh is None and len(terms) == 1
+
+
+@pytest.mark.parametrize("name,frag", [
+    ("M06-2X", "Minnesota"),
+    ("MN15", "Minnesota"),
+    ("B97-D", "wB97"),
+    ("revTPSS", "original TPSS"),
+    ("HSE06", "range separation"),
+])
+def test_unsupported_family_actionable_hint(name, frag):
+    """VERDICT r4 #8: a reference config naming an unimplemented functional
+    family must fail with a targeted hint naming what IS expressible."""
+    from nbed_tpu.dft.functionals import resolve_functional
+
+    with pytest.raises(KeyError) as exc:
+        resolve_functional(name)
+    msg = str(exc.value)
+    assert frag in msg
+    assert "Composition strings" in msg
