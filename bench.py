@@ -719,29 +719,49 @@ def main():
             # docs/PERFORMANCE.md pfoa rows, 9.7e-6 Ha)
             out["pfoa_cycle_speedup"] = round(cc / dc, 2)
 
+    # minimum-useful seconds per lane, used as RESERVATIONS: a stage may
+    # only spend budget that leaves every later reserved lane its minimum
+    # (r05 dress rehearsal: a contended pipeline attempt+retry burned
+    # 478 s and starved BOTH pfoa lanes — the north-star metric — plus
+    # jw and fock).  CPU pfoa needs ~300 s warm / ~440 cold, so its
+    # reserve dominates; the pfoa device lane needs ~90 s with a warm
+    # compile cache.
+    def lane_reserve(label):
+        if fallback:
+            return {"pipeline": 100, "pfoa": 400, "jw": 30,
+                    "fock": 120}.get(label, 0)
+        return {"pipeline_cpu": 60, "pfoa_cpu": 360, "pfoa": 120,
+                "jw": 30, "fock": 60}.get(label, 0)
+
     dev_kills = 0
-    for stage, label, envkind, mode, cap_override in plan:
+    for idx, (stage, label, envkind, mode, cap_override) in enumerate(plan):
         env = cpu if envkind == "cpu" else dev_env
         # lane-cap overrides bound known wedge-prone device compiles; in
         # (late-)fallback the lane runs on CPU and needs the full cap
         cap = (cap_override if cap_override and envkind == "dev"
                and not fallback else _STAGES[stage][1])
-        left = remaining() - 15.0  # reserve for the final emit
-        if left < 60.0:
+        reserved = sum(lane_reserve(lbl) for _, lbl, _, _, _ in
+                       plan[idx + 1:])
+        left = remaining() - 15.0 - reserved
+        # a reserved lane may always spend its own reserve even when the
+        # schedule has slipped past the reservation plan
+        left = max(left, min(lane_reserve(label), remaining() - 15.0))
+        if left < 30.0:  # 30 s still lands the cheap stages (jw ~14 s)
             _log(f"{label}: skipped (budget: {left:.0f}s left)")
             details[f"{label}_error"] = "skipped(budget)"
             emit()
             continue
         t_stage = time.monotonic()
         res = _run_stage_subprocess(stage, env, min(cap, left))
-        if res["status"].startswith("timeout") and remaining() - 15.0 > 120.0:
+        retry_left = remaining() - 15.0 - reserved
+        if res["status"].startswith("timeout") and retry_left > 120.0:
             # a killed stage has already warmed the persistent compile
             # cache up to where it died — one retry gets much further
             # (cold remote compiles dominate first attempts on TPU)
             _log(f"{label}: retrying after {res['status']}")
             details[f"{label}_error_attempt1"] = res["status"]
             res = _run_stage_subprocess(stage, env,
-                                        min(cap, remaining() - 15.0))
+                                        min(cap, retry_left))
         details[f"{label}_stage_wall_s"] = round(time.monotonic() - t_stage, 1)
         if res["status"] != "ok":
             details[f"{label}_error"] = res["status"]

@@ -89,3 +89,38 @@ def test_nacl_631g_scf_converges():
     sol = SCFEngine(mol, conv_tol=1e-7, max_cycle=200).kernel()
     assert sol.converged
     assert sol.e_tot < HF_LIMIT["Na"] + HF_LIMIT["Cl"] + 0.2
+
+
+# element -> AO count; grows as gen_row3_ccpvdz completes.  Na/Mg have no
+# occupied 3p, so the atomic-HF-orbital contraction rule yields [4s,2p,1d]
+# (4+6+5=15 AOs); Al-Ar get [4s,3p,1d] (18).
+CCPVDZ_ROW3_DONE = {"Na": 15, "Mg": 15, "S": 18}
+
+
+@pytest.mark.parametrize("sym", sorted(CCPVDZ_ROW3_DONE))
+def test_ccpvdz_row3_coverage(sym):
+    """Generated cc-pVDZ row-3 entries resolve with the documented AO
+    structure, and the lookup warns about generated provenance."""
+    import warnings as _w
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        mol = build_molecule(f"1\n\n{sym} 0.0 0.0 0.0", "cc-pvdz")
+    assert mol.nao == CCPVDZ_ROW3_DONE[sym]
+    assert any("re-derived" in str(r.message) for r in rec)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("sym,spin", [("Na", 1), ("Mg", 0)])
+def test_ccpvdz_row3_atomic_uhf_in_window(sym, spin):
+    """Atomic UHF inside the documented generated-set band: between the
+    numerical HF limit and limit + 90 mHa (the even-tempered sets land
+    16-25 mHa above; a data transcription error pushes out of band)."""
+    from nbed_tpu.scf.engine import SCFEngine
+
+    mol = build_molecule(f"1\n\n{sym} 0.0 0.0 0.0", "cc-pvdz", spin=spin)
+    sol = SCFEngine(mol, conv_tol=1e-8, max_cycle=200,
+                    init_guess="hcore").kernel()
+    assert sol.converged, sym
+    lim = HF_LIMIT[sym]
+    assert lim - 1e-4 < sol.e_tot < lim + 0.090, (sym, sol.e_tot)
