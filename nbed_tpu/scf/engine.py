@@ -234,9 +234,11 @@ class SCFEngine:
     dispatch_cycles: Optional[int] = None  # SCF cycles per device dispatch
     # on the jitted path. None = auto: chunk (K=8) only when the
     # streaming-XC path runs on TPU — a full-length streaming while_loop
-    # program hard-crashes the v5e worker (measured round 3: 1- and
-    # 3-cycle programs at the full 384k-point pfoa grid run fine, 50-cycle
-    # programs die at any grid size), so the loop is re-dispatched every K
+    # program hard-crashes the v5e worker (re-confirmed round 5 with a
+    # 50-cycle kernel-fault crash; generic long while_loop+fori_loop
+    # programs of any length are exonerated by
+    # scripts/tpu_longloop_repro.py — full issue report in
+    # docs/TPU_STREAMING_CRASH.md), so the loop is re-dispatched every K
     # cycles with a host-side convergence check between dispatches. 0
     # disables chunking; an explicit K forces it for any engine.
 
