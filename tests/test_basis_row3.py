@@ -94,7 +94,7 @@ def test_nacl_631g_scf_converges():
 # element -> AO count; grows as gen_row3_ccpvdz completes.  Na/Mg have no
 # occupied 3p, so the atomic-HF-orbital contraction rule yields [4s,2p,1d]
 # (4+6+5=15 AOs); Al-Ar get [4s,3p,1d] (18).
-CCPVDZ_ROW3_DONE = {"Na": 15, "Mg": 15, "Al": 18, "Si": 18, "P": 18, "S": 18}
+CCPVDZ_ROW3_DONE = {"Na": 15, "Mg": 15, "Al": 18, "Si": 18, "P": 18, "S": 18, "Cl": 18}
 
 
 @pytest.mark.parametrize("sym", sorted(CCPVDZ_ROW3_DONE))
@@ -111,7 +111,7 @@ def test_ccpvdz_row3_coverage(sym):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("sym,spin", [("Na", 1), ("Mg", 0), ("Al", 1), ("Si", 2), ("P", 3)])
+@pytest.mark.parametrize("sym,spin", [("Na", 1), ("Mg", 0), ("Al", 1), ("Si", 2), ("P", 3), ("Cl", 1)])
 def test_ccpvdz_row3_atomic_uhf_in_window(sym, spin):
     """Atomic UHF inside the documented generated-set band: between the
     numerical HF limit and limit + 90 mHa (the even-tempered sets land
